@@ -1,0 +1,120 @@
+"""Command-line driver.
+
+Reference CLI surface (``/root/reference/DCS-ceres/main.cpp:25-31``):
+
+    ./main DATASET NUM_OUTLIER_LOOPS METHOD
+    METHOD: 0=baseline, 1=DCS, 2=Switchable, 3=Layering, 4=MCTS
+
+Same positional interface here plus explicit flags for everything the
+reference hard-codes:
+
+    python -m slam_tpu.cli INTEL 50 1 --save-path save --seed 42
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from slam_tpu.config import (
+    LayeringConfig,
+    MctsConfig,
+    RunConfig,
+    SolverConfig,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="slam_tpu",
+        description="TPU-native robust pose-graph SLAM backend",
+    )
+    p.add_argument("dataset", help="dataset name (INTEL, M3500, CSAIL, ...) or .g2o path")
+    p.add_argument("num_outliers", type=int, help="number of bogus loops to inject")
+    p.add_argument("method", type=int, choices=[0, 1, 2, 3, 4],
+                   help="0=baseline 1=DCS 2=SC 3=layering 4=MCTS")
+    p.add_argument("--save-path", default="save")
+    p.add_argument("--seed", type=int, default=0,
+                   help="outlier-injection PRNG seed (reference: srand(time(0)))")
+    p.add_argument("--dcs-phi", type=float, default=0.5)
+    p.add_argument("--huber-delta", type=float, default=0.01)
+    p.add_argument("--sc-lambda", type=float, default=1.0)
+    p.add_argument("--max-iterations", type=int, default=50)
+    p.add_argument("--linear-solver", default=None,
+                   choices=[None, "dense", "pcg", "schur"],
+                   help="default: dense for small graphs, pcg for large")
+    p.add_argument("--dtype", default=None, choices=[None, "float32", "float64"],
+                   help="default: float32 on TPU, float64 on CPU")
+    p.add_argument("--plot", action="store_true", help="write trajectory PNG")
+    p.add_argument("--eval-against", default=None,
+                   help="nodes file to compute ATE against (e.g. a reference opt_nodes.txt)")
+    return p
+
+
+def config_from_args(args) -> RunConfig:
+    import jax
+
+    platform = jax.default_backend()
+    dtype = args.dtype or ("float64" if platform == "cpu" else "float32")
+    linear_solver = args.linear_solver
+    solver = SolverConfig(
+        dcs_phi=args.dcs_phi,
+        huber_delta=args.huber_delta,
+        sc_prior_lambda=args.sc_lambda,
+        max_iterations=args.max_iterations,
+        linear_solver=linear_solver or "dense",
+        dtype=dtype,
+    )
+    return RunConfig(
+        dataset=args.dataset,
+        num_outliers=args.num_outliers,
+        method=args.method,
+        seed=args.seed,
+        save_path=args.save_path,
+        solver=solver,
+        layering=LayeringConfig(),
+        mcts=MctsConfig(),
+    )
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+
+    if args.linear_solver is None:
+        # Heuristic: dense Cholesky up to ~2k nodes, PCG beyond.
+        from slam_tpu.io import g2o as g2o_io
+        graph = g2o_io.load_g2o(g2o_io.find_dataset(cfg.dataset))
+        solver = "dense" if graph.num_nodes <= 2048 else "pcg"
+        cfg = RunConfig(**{**cfg.__dict__, "solver": cfg.solver.replace(linear_solver=solver)})
+
+    if cfg.method in (0, 1, 2):
+        from slam_tpu.methods.global_solve import run_from_config
+        out = run_from_config(cfg)
+    elif cfg.method == 3:
+        from slam_tpu.methods.layering import run_from_config as run3
+        out = run3(cfg)
+    else:
+        from slam_tpu.methods.mcts import run_from_config as run4
+        out = run4(cfg)
+
+    if args.eval_against:
+        from slam_tpu.eval import metrics
+        from slam_tpu.io import g2o as g2o_io
+        ref = g2o_io.load_nodes(args.eval_against)
+        print(f"[eval] ATE vs {args.eval_against}: "
+              f"{metrics.ate(out.poses, ref):.6f} m")
+
+    if args.plot:
+        from slam_tpu.viz import plot
+        import os
+        plot.plot_trajectories(
+            os.path.join(cfg.save_path, "init_nodes.txt"),
+            os.path.join(cfg.save_path, "opt_nodes.txt"),
+            os.path.join(cfg.save_path, "trajectory.png"),
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

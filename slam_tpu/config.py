@@ -1,0 +1,115 @@
+"""Configuration dataclasses for the solver and method drivers.
+
+The reference hard-codes nearly everything: Huber delta 0.01
+(``/root/reference/DCS-ceres/main.cpp:68``), DCS phi 0.5
+(``ceres_error.cpp:185``), SC prior lambda 1.0 (``main.cpp:107``), Ceres
+defaults for the trust-region loop, and per-method structs
+(``layer_manager.h:15-33``, ``simple_layer_manager.h:18-36``).  Here every
+knob is an explicit field with the reference value as default, overridable
+from the CLI.
+
+Fields that select code paths (``robust``, ``linear_solver``, iteration caps)
+are static under ``jax.jit``; numeric fields are traced.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+# Method numbering follows the reference CLI (``main.cpp:27``).
+METHOD_BASELINE = 0
+METHOD_DCS = 1
+METHOD_SC = 2
+METHOD_LAYERING = 3
+METHOD_MCTS = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Gauss-Newton / Levenberg-Marquardt solve configuration."""
+
+    # Robustification of loop-closure edges: "none" | "dcs" | "sc".
+    robust: str = "none"
+    dcs_phi: float = 0.5          # ceres_error.cpp:185
+    huber_delta: float = 0.01     # main.cpp:68 (applied to every block)
+    sc_prior_lambda: float = 1.0  # main.cpp:107
+
+    # LM trust-region loop (Ceres defaults: 50 iters, ftol 1e-6).
+    max_iterations: int = 50
+    function_tolerance: float = 1e-6
+    init_lambda: float = 1e-4
+    min_lambda: float = 1e-12
+    max_lambda: float = 1e10
+
+    # Linear solver: "dense" (Cholesky), "pcg" (block-Jacobi preconditioned
+    # CG), or "schur" (partitioned two-level direct solve).
+    linear_solver: str = "pcg"
+    pcg_max_iters: int = 250
+    pcg_rtol: float = 1e-8
+
+    # Numerics.  float32 is TPU-native; tests validate f32 vs f64 fixed points.
+    dtype: str = "float32"
+
+    def replace(self, **kw) -> "SolverConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class LayeringConfig:
+    """Method 3 (probabilistic layering + UCT) -- ``layer_manager.h:15-33``."""
+
+    max_layers: int = 50
+    local_iters: int = 2
+    commit_local_iters: int = 1
+    commit_window_radius: int = 30
+    window_radius: int = 20
+    huber_delta: float = 0.01
+    ema_alpha: float = 0.1
+    epsilon: float = 1e-3
+    theta_weight: float = 1.0
+    conflict_tau: float = 0.5
+    uct_top_k: int = 3
+    uct_c: float = 1.0
+    # Reward shaping (``layer_manager.cpp:454-455``).
+    alpha_info: float = 0.1
+    beta_sparse: float = 0.05
+
+
+@dataclasses.dataclass(frozen=True)
+class MctsConfig:
+    """Method 4 (MCTS layer tree) -- ``simple_layer_manager.h:18-36``."""
+
+    max_layers: int = 20
+    local_iters: int = 2
+    huber_delta: float = 0.01
+    ema_alpha: float = 0.1
+    epsilon: float = 1e-3
+    conflict_tau: float = 0.3
+    alpha_info: float = 1.1
+    beta_sparse: float = 0.1
+    exploration_c: float = 1.414
+    residual_low: float = 3.0
+    residual_high: float = 50.0
+    local_window: int = 20
+
+
+@dataclasses.dataclass(frozen=True)
+class RunConfig:
+    """Top-level run description (CLI surface ``main.cpp:25-31``)."""
+
+    dataset: str = "INTEL"
+    num_outliers: int = 0
+    method: int = METHOD_BASELINE
+    seed: int = 0
+    save_path: str = "save"
+    solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
+    layering: LayeringConfig = dataclasses.field(default_factory=LayeringConfig)
+    mcts: MctsConfig = dataclasses.field(default_factory=MctsConfig)
+
+
+def solver_config_for_method(method: int, base: SolverConfig | None = None) -> SolverConfig:
+    base = base or SolverConfig()
+    robust = {METHOD_BASELINE: "none", METHOD_DCS: "dcs", METHOD_SC: "sc"}.get(
+        method, "none"
+    )
+    return base.replace(robust=robust)

@@ -1,0 +1,162 @@
+"""Device-side problem representation: static-topology edge arrays.
+
+The graph topology is frozen after ingestion, so the entire solve is a pure
+function of ``(EdgeSet, poses, hyperparams)`` -- the property that makes the
+whole LM loop jittable.  ``active`` is a per-edge multiplicative weight that
+subsumes three needs with one array and zero recompilation:
+
+* padding edges to static shapes (inactive tail),
+* layer/subset selection for methods 3/4 (mask per layer),
+* index-window local optimisation (mask by window membership).
+
+This replaces the reference's dynamic per-problem ``AddResidualBlock`` loops
+(``/root/reference/DCS-ceres/main.cpp:95-150``,
+``layer_manager.cpp:602-654``) with fixed-shape masked arrays.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from slam_tpu.graph import CLOSURE_EDGE, ODOMETRY_EDGE, PoseGraph
+
+
+class EdgeSet(NamedTuple):
+    """Static-shape edge arrays living on device.
+
+    ``inc_a``/``inc_b`` are optional one-hot incidence matrices ``(E, N)``
+    (see ``slam_tpu/ops/indexing.py``).  When present, every gather/scatter
+    in the solve routes through MXU matmuls -- the TPU-native path.  When
+    ``None``, XLA gather/segment_sum is used (fine on CPU).
+    """
+
+    ij: jnp.ndarray        # (E, 2) int32 endpoints
+    meas: jnp.ndarray      # (E, 3) measured relative pose
+    is_loop: jnp.ndarray   # (E,) bool: closure or bogus (robustified edges)
+    active: jnp.ndarray    # (E,) float: 1.0 live, 0.0 padded/masked out
+    info: jnp.ndarray      # (E, 6) information entries (Mahalanobis/eval use)
+    inc_a: jnp.ndarray | None = None  # (E, N) one-hot of endpoint a
+    inc_b: jnp.ndarray | None = None  # (E, N) one-hot of endpoint b
+
+    @property
+    def num_edges(self) -> int:
+        return self.ij.shape[0]
+
+    def gather_a(self, x: jnp.ndarray) -> jnp.ndarray:
+        """``x[a]`` -- incidence matmul when available, gather otherwise."""
+        from slam_tpu.ops import indexing
+        if self.inc_a is not None:
+            return indexing.gather(self.inc_a, x)
+        return x[self.ij[:, 0]]
+
+    def gather_b(self, x: jnp.ndarray) -> jnp.ndarray:
+        from slam_tpu.ops import indexing
+        if self.inc_b is not None:
+            return indexing.gather(self.inc_b, x)
+        return x[self.ij[:, 1]]
+
+    def scatter_a(self, v: jnp.ndarray, n: int) -> jnp.ndarray:
+        """``segment_sum(v, a, n)`` via incidence matmul when available."""
+        import jax
+        from slam_tpu.ops import indexing
+        if self.inc_a is not None:
+            return indexing.scatter_add(self.inc_a, v)
+        return jax.ops.segment_sum(v, self.ij[:, 0], num_segments=n)
+
+    def scatter_b(self, v: jnp.ndarray, n: int) -> jnp.ndarray:
+        import jax
+        from slam_tpu.ops import indexing
+        if self.inc_b is not None:
+            return indexing.scatter_add(self.inc_b, v)
+        return jax.ops.segment_sum(v, self.ij[:, 1], num_segments=n)
+
+
+class FreeMask(NamedTuple):
+    """Gauge handling: per-node 1.0 = free, 0.0 = held constant.
+
+    Replaces ``SetParameterBlockConstant`` (``main.cpp:153``) by projecting
+    the fixed nodes out of the update (zero rows/cols, identity diagonal).
+    """
+
+    node: jnp.ndarray  # (N,) float
+
+
+def edge_set_from_graph(
+    graph: PoseGraph,
+    dtype=jnp.float32,
+    pad_to: int | None = None,
+    incidence: bool | None = None,
+) -> EdgeSet:
+    """Build an :class:`EdgeSet` (canonical edge order) from a host graph.
+
+    ``incidence=None`` auto-selects: one-hot incidence matmuls on TPU-class
+    backends (where XLA gather/scatter is slow), index ops on CPU.
+    """
+    import jax
+
+    g = graph.canonical_order()
+    e = g.num_edges
+    pad = 0 if pad_to is None else max(0, pad_to - e)
+
+    ij = np.concatenate([g.edges_ij, np.zeros((pad, 2), np.int32)])
+    # Padded edges point at (0, 0); their active weight is 0 so they
+    # contribute nothing, and the self-pair keeps gathers in range.
+    meas = np.concatenate([g.edges_meas, np.zeros((pad, 3))])
+    is_loop = np.concatenate(
+        [g.edge_type != ODOMETRY_EDGE, np.zeros(pad, bool)]
+    )
+    active = np.concatenate([np.ones(e), np.zeros(pad)])
+    info = np.concatenate([g.edges_info, np.zeros((pad, 6))])
+
+    if incidence is None:
+        incidence = jax.default_backend() != "cpu"
+    inc_a = inc_b = None
+    if incidence:
+        from slam_tpu.ops import indexing
+        n = g.num_nodes
+        inc_a = indexing.build_incidence(ij[:, 0], n, dtype)
+        inc_b = indexing.build_incidence(ij[:, 1], n, dtype)
+
+    return EdgeSet(
+        ij=jnp.asarray(ij, jnp.int32),
+        meas=jnp.asarray(meas, dtype),
+        is_loop=jnp.asarray(is_loop),
+        active=jnp.asarray(active, dtype),
+        info=jnp.asarray(info, dtype),
+        inc_a=inc_a,
+        inc_b=inc_b,
+    )
+
+
+def anchor_first_node(n: int, dtype=jnp.float32) -> FreeMask:
+    """Free mask fixing node 0 (the reference's gauge, ``main.cpp:153``)."""
+    m = np.ones((n,))
+    m[0] = 0.0
+    return FreeMask(node=jnp.asarray(m, dtype))
+
+
+def anchor_node(n: int, anchor: jnp.ndarray, dtype=jnp.float32) -> FreeMask:
+    """Free mask fixing a (traced) node index -- windowed local solves pick
+    the first in-window node as anchor (``layer_manager.cpp:167-169``)."""
+    idx = jnp.arange(n)
+    return FreeMask(node=jnp.where(idx == anchor, 0.0, 1.0).astype(dtype))
+
+
+def num_loop_edges(graph: PoseGraph) -> int:
+    return int(np.sum(graph.edge_type != ODOMETRY_EDGE))
+
+
+def window_mask(
+    edges: EdgeSet, lo: jnp.ndarray, hi: jnp.ndarray
+) -> jnp.ndarray:
+    """Edges whose endpoints both lie in the index window [lo, hi].
+
+    Mirrors the reference's windowed problem construction
+    (``layer_manager.cpp:152-165``).
+    """
+    a, b = edges.ij[:, 0], edges.ij[:, 1]
+    inside = (a >= lo) & (a <= hi) & (b >= lo) & (b <= hi)
+    return inside.astype(edges.active.dtype)

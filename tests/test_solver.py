@@ -1,0 +1,170 @@
+"""Solver integration tests: convergence, solver agreement, robustness
+behaviour (the reference's qualitative collapse/converge grid, made
+quantitative), and f32-vs-f64 fixed-point proximity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slam_tpu.config import SolverConfig
+from slam_tpu.geometry import se2
+from slam_tpu.solver.lm import lm_fixed_iters, lm_solve
+from slam_tpu.solver.linearize import cost_only, linearize
+from slam_tpu.solver.models import SE2Model
+from slam_tpu.solver.problem import (
+    anchor_first_node,
+    edge_set_from_graph,
+)
+
+
+def _setup(graph, dtype=jnp.float64):
+    edges = edge_set_from_graph(graph, dtype=dtype)
+    free = anchor_first_node(graph.num_nodes, dtype=dtype)
+    poses0 = jnp.asarray(graph.poses, dtype)
+    sw0 = jnp.ones((edges.num_edges,), dtype)
+    return edges, free, poses0, sw0
+
+
+def test_lm_converges_and_reduces_cost(circle):
+    graph, gt = circle
+    edges, free, poses0, sw0 = _setup(graph)
+    cfg = SolverConfig(robust="none", linear_solver="dense", dtype="float64")
+    res = lm_solve(poses0, sw0, edges, free, cfg)
+    assert bool(res.converged)
+    assert float(res.cost) < 0.2 * float(res.initial_cost)
+    assert float(se2.ate(res.poses, jnp.asarray(gt))) < float(
+        se2.ate(poses0, jnp.asarray(gt))
+    )
+
+
+def test_dense_and_pcg_agree(circle):
+    graph, _ = circle
+    edges, free, poses0, sw0 = _setup(graph)
+    res_d = lm_solve(
+        poses0, sw0, edges, free,
+        SolverConfig(robust="none", linear_solver="dense", dtype="float64"),
+    )
+    res_p = lm_solve(
+        poses0, sw0, edges, free,
+        SolverConfig(robust="none", linear_solver="pcg", dtype="float64",
+                     pcg_max_iters=500, pcg_rtol=1e-12),
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_d.poses), np.asarray(res_p.poses), atol=1e-6
+    )
+
+
+def test_outliers_collapse_without_dcs_and_survive_with(circle, circle_outliers):
+    """The reference's headline experiment (README.md:41-43): topology
+    collapses without DCS at high outlier count, converges with DCS on."""
+    graph, gt = circle
+    dirty, _ = circle_outliers
+    gt = jnp.asarray(gt)
+    edges, free, poses0, sw0 = _setup(dirty)
+
+    cfg0 = SolverConfig(robust="none", linear_solver="dense", dtype="float64")
+    ate_plain = float(se2.ate(lm_solve(poses0, sw0, edges, free, cfg0).poses, gt))
+    cfg1 = cfg0.replace(robust="dcs")
+    ate_dcs = float(se2.ate(lm_solve(poses0, sw0, edges, free, cfg1).poses, gt))
+
+    # Clean baseline for comparison.
+    edges_c, free_c, poses0_c, sw0_c = _setup(graph)
+    ate_clean = float(
+        se2.ate(lm_solve(poses0_c, sw0_c, edges_c, free_c, cfg0).poses, gt)
+    )
+
+    assert ate_plain > 10 * ate_clean, "outliers should corrupt the plain solve"
+    assert ate_dcs < 2 * ate_clean, "DCS should rescue the solve"
+
+
+def test_sc_runs_and_keeps_inliers_on(circle_outliers):
+    dirty, gt = circle_outliers
+    edges, free, poses0, sw0 = _setup(dirty)
+    cfg = SolverConfig(robust="sc", linear_solver="dense", dtype="float64")
+    res = lm_solve(poses0, sw0, edges, free, cfg)
+    s = np.asarray(res.switches)
+    loop = np.asarray(edges.is_loop)
+    etype = dirty.canonical_order().edge_type
+    closure_idx = np.where(etype != 0)[0]
+    true_closures = s[closure_idx[etype[closure_idx] == 1]]
+    # True closures should stay essentially on.
+    assert np.all(true_closures > 0.8)
+    assert float(res.cost) < float(res.initial_cost)
+
+
+def test_gauge_anchor_fixed(circle):
+    graph, _ = circle
+    edges, free, poses0, sw0 = _setup(graph)
+    cfg = SolverConfig(robust="none", linear_solver="dense", dtype="float64")
+    res = lm_solve(poses0, sw0, edges, free, cfg)
+    np.testing.assert_allclose(
+        np.asarray(res.poses[0]), np.asarray(poses0[0]), atol=1e-12
+    )
+
+
+def test_fixed_iters_matches_while_loop_prefix(circle):
+    graph, _ = circle
+    edges, free, poses0, sw0 = _setup(graph)
+    cfg = SolverConfig(robust="none", linear_solver="dense", dtype="float64",
+                       max_iterations=5, function_tolerance=0.0)
+    res_a = lm_solve(poses0, sw0, edges, free, cfg)
+    res_b = lm_fixed_iters(poses0, sw0, edges, free, cfg, 5)
+    # Different lambda adaptation rules, but both must strictly reduce cost.
+    assert float(res_a.cost) < float(res_a.initial_cost)
+    assert float(res_b.cost) < float(res_b.initial_cost)
+
+
+def test_active_mask_matches_subgraph(circle):
+    """Masking edges with ``active=0`` must equal removing them -- the
+    mechanism behind layer/batched evaluation (methods 3/4)."""
+    graph, _ = circle
+    edges, free, poses0, sw0 = _setup(graph)
+    # Deactivate the last 3 loop edges.
+    active = np.asarray(edges.active).copy()
+    loop_idx = np.where(np.asarray(edges.is_loop))[0]
+    active[loop_idx[-3:]] = 0.0
+    edges_masked = edges._replace(active=jnp.asarray(active))
+
+    import dataclasses
+    g = graph.canonical_order()
+    keep = np.ones(g.num_edges, bool)
+    keep[loop_idx[-3:]] = False
+    sub = dataclasses.replace(
+        g,
+        edges_ij=g.edges_ij[keep],
+        edges_meas=g.edges_meas[keep],
+        edges_info=g.edges_info[keep],
+        edge_type=g.edge_type[keep],
+    )
+    edges_sub, _, _, sw_sub = _setup(sub)
+
+    kw = dict(model=SE2Model, robust="none", dcs_phi=0.5, huber_delta=0.01,
+              sc_prior_lambda=1.0)
+    c_masked = float(cost_only(poses0, sw0, edges_masked, **kw))
+    c_sub = float(cost_only(poses0, sw_sub, edges_sub, **kw))
+    assert abs(c_masked - c_sub) < 1e-10
+
+    sys_m = linearize(poses0, sw0, edges_masked, free, **kw)
+    sys_s = linearize(poses0, sw_sub, edges_sub, free, **kw)
+    np.testing.assert_allclose(
+        np.asarray(sys_m.Hdiag), np.asarray(sys_s.Hdiag), atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(sys_m.g), np.asarray(sys_s.g), atol=1e-10
+    )
+
+
+def test_f32_fixed_point_close_to_f64(circle):
+    graph, gt = circle
+    gt = jnp.asarray(gt)
+    edges64, free64, poses064, sw064 = _setup(graph, jnp.float64)
+    cfg64 = SolverConfig(robust="none", linear_solver="dense", dtype="float64")
+    res64 = lm_solve(poses064, sw064, edges64, free64, cfg64)
+
+    edges32, free32, poses032, sw032 = _setup(graph, jnp.float32)
+    cfg32 = SolverConfig(robust="none", linear_solver="dense", dtype="float32")
+    res32 = lm_solve(poses032, sw032, edges32, free32, cfg32)
+
+    ate_between = float(se2.ate(res32.poses.astype(jnp.float64), res64.poses))
+    assert ate_between < 5e-3, f"f32 fixed point drifted: {ate_between}"
