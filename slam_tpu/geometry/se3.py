@@ -55,27 +55,41 @@ def quat_rotate(q: Array, v: Array) -> Array:
 
 
 def quat_exp(theta: Array) -> Array:
-    """Exponential map: rotation vector ``theta [...,3]`` -> unit quaternion."""
-    angle = jnp.linalg.norm(theta, axis=-1, keepdims=True)
+    """Exponential map: rotation vector ``theta [...,3]`` -> unit quaternion.
+
+    Written with the double-where trick on the *squared* norm so forward- and
+    reverse-mode derivatives are finite at theta = 0 (the point where the
+    solver's lift-solve-retract Jacobians are evaluated); a naive
+    ``norm(theta)`` has a NaN derivative there.
+    """
+    sq = jnp.sum(theta * theta, axis=-1, keepdims=True)
+    small = sq < 1e-12
+    sq_safe = jnp.where(small, 1.0, sq)
+    angle = jnp.sqrt(sq_safe)
     half = 0.5 * angle
-    # sinc-style guard for small angles.
-    small = angle < 1e-8
-    k = jnp.where(small, 0.5, jnp.sin(half) / jnp.where(small, 1.0, angle))
-    return jnp.concatenate([jnp.cos(half), k * theta], axis=-1)
+    # sin(t/2)/t and cos(t/2) with Taylor fallbacks smooth in sq.
+    k = jnp.where(small, 0.5 - sq / 48.0, jnp.sin(half) / angle)
+    w = jnp.where(small, 1.0 - sq / 8.0, jnp.cos(half))
+    return jnp.concatenate([w, k * theta], axis=-1)
 
 
 def quat_log(q: Array) -> Array:
     """Log map: unit quaternion -> rotation vector (angle * axis).
 
-    Sign-canonicalised so the result is the minimal rotation.
+    Sign-canonicalised so the result is the minimal rotation; derivative-safe
+    at the identity (same double-where construction as :func:`quat_exp`).
     """
     q = jnp.where(q[..., 0:1] < 0, -q, q)
     w = jnp.clip(q[..., 0], -1.0, 1.0)
     vec = q[..., 1:]
-    n = jnp.linalg.norm(vec, axis=-1)
+    sq = jnp.sum(vec * vec, axis=-1)
+    small = sq < 1e-12
+    n = jnp.sqrt(jnp.where(small, 1.0, sq))
     angle = 2.0 * jnp.arctan2(n, w)
-    small = n < 1e-8
-    scale = jnp.where(small, 2.0, angle / jnp.where(small, 1.0, n))
+    # Near identity: log ~= 2 * vec / w (smooth in sq).
+    scale = jnp.where(
+        small, 2.0 / jnp.maximum(w, 1e-6), angle / n
+    )
     return scale[..., None] * vec
 
 

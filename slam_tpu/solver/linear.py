@@ -200,13 +200,17 @@ def dense_solve(
     return _dense_solve_scatter(system, edges, lam, include_switches)
 
 
-def _finish_dense(H, rhs, n, D, E, include_switches, dtype):
+def _finish_dense(H, rhs, n, D, E, include_switches, dtype,
+                  coord_major=False):
     # Jacobi equilibration improves f32 conditioning markedly.
     dscale = 1.0 / jnp.sqrt(jnp.clip(jnp.diagonal(H), 1e-12, None))
     Hs = H * dscale[:, None] * dscale[None, :]
     factor = jax.scipy.linalg.cho_factor(Hs, lower=True)
     sol = jax.scipy.linalg.cho_solve(factor, rhs * dscale) * dscale
-    dp = sol[: D * n].reshape(n, D)
+    if coord_major:
+        dp = sol[: D * n].reshape(D, n).T
+    else:
+        dp = sol[: D * n].reshape(n, D)
     ds = sol[D * n :] if include_switches else jnp.zeros((E,), dtype)
     return Update(poses=dp, switches=ds)
 
@@ -222,10 +226,14 @@ def _dense_solve_matmul(
     dtype = system.Ja.dtype
 
     # Dense Jacobian rows from per-edge blocks -- broadcast, no scatter.
+    # Unknowns are ordered COORDINATE-MAJOR (x = [all x0.., all x1.., ...],
+    # flat index j*n + node): the materialised Jacobian then has the large
+    # node axis trailing, which TPU (8,128) tiling pads benignly; a
+    # node-major layout would put a 3-wide axis last and pad ~10x.
     Jd = (
-        system.Ja[:, :, None, :] * edges.inc_a[:, None, :, None]
-        + system.Jb[:, :, None, :] * edges.inc_b[:, None, :, None]
-    ).reshape(E * R, n * D)
+        system.Ja[:, :, :, None] * edges.inc_a[:, None, None, :]
+        + system.Jb[:, :, :, None] * edges.inc_b[:, None, None, :]
+    ).reshape(E * R, D * n)
     wsqrt = jnp.sqrt(system.w)
     wr = jnp.repeat(wsqrt, R)  # per-row weights
     if include_switches:
@@ -261,7 +269,8 @@ def _dense_solve_matmul(
     H = H + eye * extra[None, :]
     d0 = jnp.diagonal(H)
     H = H + eye * (lam * jnp.clip(d0, _DIAG_MIN, _DIAG_MAX))[None, :]
-    return _finish_dense(H, -g, n, D, E, include_switches, dtype)
+    return _finish_dense(H, -g, n, D, E, include_switches, dtype,
+                         coord_major=True)
 
 
 def _sc_lam(system: BlockSystem) -> Array:

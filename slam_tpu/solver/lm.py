@@ -61,7 +61,7 @@ class LMResult(NamedTuple):
     lin_iters: Array
 
 
-def _solve_linear(system, edges, lam, cfg: SolverConfig):
+def _solve_linear(system, edges, lam, cfg: SolverConfig, partition=None):
     if cfg.linear_solver == "dense":
         dx = linear.dense_solve(
             system, edges, lam, include_switches=(cfg.robust == "sc")
@@ -71,10 +71,15 @@ def _solve_linear(system, edges, lam, cfg: SolverConfig):
         return linear.pcg_solve(
             system, edges, lam, max_iters=cfg.pcg_max_iters, rtol=cfg.pcg_rtol
         )
+    elif cfg.linear_solver == "schur":
+        from slam_tpu.solver import schur
+        if partition is None:
+            raise ValueError("linear_solver='schur' requires a partition")
+        return schur.schur_solve(system, edges, partition, lam), jnp.int32(0)
     raise ValueError(f"unknown linear solver {cfg.linear_solver!r}")
 
 
-@partial(jax.jit, static_argnames=("cfg", "model"))
+@partial(jax.jit, static_argnames=("cfg", "model", "partition"))
 def lm_solve(
     poses0: Array,
     switches0: Array,
@@ -82,6 +87,7 @@ def lm_solve(
     free: FreeMask,
     cfg: SolverConfig,
     model=None,
+    partition=None,
 ) -> LMResult:
     """Run LM to convergence (or ``cfg.max_iterations``)."""
     model = model or SE2Model
@@ -104,7 +110,7 @@ def lm_solve(
 
     def body(s: LMState) -> LMState:
         system = linearize(s.poses, s.switches, edges, free, **kw)
-        dx, inner = _solve_linear(system, edges, s.lam, cfg)
+        dx, inner = _solve_linear(system, edges, s.lam, cfg, partition)
 
         new_poses = model.retract(s.poses, dx.poses)
         new_switches = s.switches + dx.switches
@@ -164,7 +170,7 @@ def lm_solve(
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "num_iters", "model"))
+@partial(jax.jit, static_argnames=("cfg", "num_iters", "model", "partition"))
 def lm_fixed_iters(
     poses0: Array,
     switches0: Array,
@@ -173,6 +179,7 @@ def lm_fixed_iters(
     cfg: SolverConfig,
     num_iters: int,
     model=None,
+    partition=None,
 ) -> LMResult:
     """Exactly ``num_iters`` LM iterations via ``lax.scan`` (benchmarking and
     the short inner solves of methods 3/4, which cap Ceres at 1-2 iterations,
@@ -192,7 +199,7 @@ def lm_fixed_iters(
 
     def step(s: LMState, _):
         system = linearize(s.poses, s.switches, edges, free, **kw)
-        dx, inner = _solve_linear(system, edges, s.lam, cfg)
+        dx, inner = _solve_linear(system, edges, s.lam, cfg, partition)
         new_poses = model.retract(s.poses, dx.poses)
         new_switches = s.switches + dx.switches
         new_cost = cost_only(new_poses, new_switches, edges, **kw)

@@ -104,12 +104,18 @@ def edge_set_from_graph(
     ij = np.concatenate([g.edges_ij, np.zeros((pad, 2), np.int32)])
     # Padded edges point at (0, 0); their active weight is 0 so they
     # contribute nothing, and the self-pair keeps gathers in range.
-    meas = np.concatenate([g.edges_meas, np.zeros((pad, 3))])
+    meas = np.concatenate(
+        [g.edges_meas, np.zeros((pad, g.edges_meas.shape[1]))]
+    )
+    if pad and g.edges_meas.shape[1] == 7:
+        meas[e:, 3] = 1.0  # identity quaternion for padded SE(3) edges
     is_loop = np.concatenate(
         [g.edge_type != ODOMETRY_EDGE, np.zeros(pad, bool)]
     )
     active = np.concatenate([np.ones(e), np.zeros(pad)])
-    info = np.concatenate([g.edges_info, np.zeros((pad, 6))])
+    info = np.concatenate(
+        [g.edges_info, np.zeros((pad, g.edges_info.shape[1]))]
+    )
 
     if incidence is None:
         incidence = jax.default_backend() != "cpu"

@@ -1,0 +1,250 @@
+"""Partitioned Schur-complement direct solver.
+
+The TPU-native replacement for sparse Cholesky at scale, and the numerical
+core of the distributed design (SURVEY §5, BASELINE.json): partition the
+pose graph into ``P`` contiguous map blocks (odometry edges are index-local,
+``g2o_util.h:68``, so contiguous ranges cut few edges), eliminate each
+block's *interior* with a batched dense Cholesky, and reduce the coupled
+*separator* system:
+
+    H = [[A, F], [F^T, C]],  A = blkdiag(A_1..A_P)
+    S = C - sum_k F_k^T A_k^{-1} F_k           (psum over blocks/devices)
+    S x_s = b_s - sum_k F_k^T A_k^{-1} b_k
+    x_k   = A_k^{-1} (b_k - F_k x_s)
+
+Everything is assembled with incidence/selection matmuls (no gather/scatter
+in the compiled program -- see ``ops/indexing.py``) and the per-block work is
+a ``vmap`` over the block axis, which is exactly the axis a multi-device
+``shard_map`` distributes (``parallel/schur_dist`` analog in
+``distributed_lm``'s mesh).  On one chip this is simply a much faster exact
+solver than full dense: O(P (n/P)^3 + ns^3) instead of O(n^3).
+
+Separator = nodes incident to any cross-block edge.  Node 0 (the gauge
+anchor) is forced into the separator so gauge handling lives in one place.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_tpu.solver.linear import Update, _DIAG_MAX, _DIAG_MIN
+from slam_tpu.solver.linearize import BlockSystem
+from slam_tpu.solver.problem import EdgeSet
+
+Array = jax.Array
+_PREC = jax.lax.Precision.HIGHEST
+
+
+@dataclasses.dataclass(frozen=True)
+class SchurPartition:
+    """Static partition data built once per graph on the host.
+
+    All selection/gather operators are 0/1 matrices so the device program is
+    pure matmuls.  Shapes (host-padded to static maxima):
+
+    * ``int_sel``:  (P, ni_max, N) -- block-k interior node selection
+    * ``int_mask``: (P, ni_max)    -- 1 for real interior slots
+    * ``sep_sel``:  (ns, N)        -- separator node selection
+    * ``edge_sel``: (P, ek_max, E) -- block-k edge gather (edges with an
+      interior endpoint in block k)
+    * ``num_blocks``, ``ni_max``, ``ns``, ``ek_max``: static ints
+    """
+
+    int_sel: Array
+    int_mask: Array
+    sep_sel: Array
+    edge_sel: Array
+    num_blocks: int
+    ni_max: int
+    ns: int
+    ek_max: int
+
+    def __hash__(self):
+        return hash((self.num_blocks, self.ni_max, self.ns, self.ek_max))
+
+    def __eq__(self, other):
+        return self is other
+
+
+def build_partition(
+    ij: np.ndarray, n: int, num_blocks: int, dtype=jnp.float32
+) -> SchurPartition:
+    """Contiguous index-range partition with cross-edge separator."""
+    ij = np.asarray(ij)
+    E = ij.shape[0]
+    block_size = -(-n // num_blocks)
+    node_block = np.minimum(np.arange(n) // block_size, num_blocks - 1)
+
+    ba = node_block[ij[:, 0]]
+    bb = node_block[ij[:, 1]]
+    cross = ba != bb
+    sep = np.zeros(n, bool)
+    sep[ij[cross, 0]] = True
+    sep[ij[cross, 1]] = True
+    sep[0] = True  # gauge anchor lives in the separator system
+
+    sep_ids = np.where(sep)[0]
+    ns = len(sep_ids)
+
+    interior_ids = [
+        np.where((node_block == k) & ~sep)[0] for k in range(num_blocks)
+    ]
+    ni_max = max(1, max(len(x) for x in interior_ids))
+
+    # Edge ownership: the block of its interior endpoint(s); pure-separator
+    # edges are owned by no block (they only touch C, assembled globally).
+    owner = np.full(E, -1, np.int64)
+    a_int = ~sep[ij[:, 0]]
+    b_int = ~sep[ij[:, 1]]
+    owner[a_int] = ba[a_int]
+    owner[b_int & (owner < 0)] = bb[b_int & (owner < 0)]
+    block_edges = [np.where(owner == k)[0] for k in range(num_blocks)]
+    ek_max = max(1, max(len(x) for x in block_edges))
+
+    int_sel = np.zeros((num_blocks, ni_max, n), np.float32)
+    int_mask = np.zeros((num_blocks, ni_max), np.float32)
+    for k, ids in enumerate(interior_ids):
+        int_sel[k, np.arange(len(ids)), ids] = 1.0
+        int_mask[k, : len(ids)] = 1.0
+
+    sep_sel = np.zeros((ns, n), np.float32)
+    sep_sel[np.arange(ns), sep_ids] = 1.0
+
+    edge_sel = np.zeros((num_blocks, ek_max, E), np.float32)
+    for k, ids in enumerate(block_edges):
+        edge_sel[k, np.arange(len(ids)), ids] = 1.0
+
+    return SchurPartition(
+        int_sel=jnp.asarray(int_sel, dtype),
+        int_mask=jnp.asarray(int_mask, dtype),
+        sep_sel=jnp.asarray(sep_sel, dtype),
+        edge_sel=jnp.asarray(edge_sel, dtype),
+        num_blocks=num_blocks,
+        ni_max=ni_max,
+        ns=ns,
+        ek_max=ek_max,
+    )
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_PREC, preferred_element_type=a.dtype)
+
+
+@partial(jax.jit, static_argnames=("part",))
+def schur_solve(
+    system: BlockSystem,
+    edges: EdgeSet,
+    part: SchurPartition,
+    lam: Array,
+) -> Update:
+    """Exact damped-normal-equation solve via two-level Schur elimination.
+
+    Pose-only (switch slots return 0; SC uses the dense path).  Requires the
+    EdgeSet to carry incidence matrices.
+    """
+    assert edges.inc_a is not None, "schur solver needs incidence matrices"
+    E, R, D = system.Ja.shape
+    n = system.Hdiag.shape[0]
+    dtype = system.Ja.dtype
+    P_blk = part.num_blocks
+    ni, ns, ek = part.ni_max, part.ns, part.ek_max
+
+    wsqrt = jnp.sqrt(system.w)
+    # Damping values per node coordinate: lam * clip(diag(H)).
+    dnode = jnp.diagonal(system.Hdiag, axis1=-2, axis2=-1)  # (N, D)
+    damp = lam * jnp.clip(dnode, _DIAG_MIN, _DIAG_MAX)      # (N, D)
+    # Gauge / isolated slots: diagonal exactly 0 -> pin with identity.
+    pin = (dnode == 0.0).astype(dtype)
+
+    # ---- separator system from ALL edges -------------------------------
+    inc_a_sep = _mm(edges.inc_a, part.sep_sel.T)  # (E, ns)
+    inc_b_sep = _mm(edges.inc_b, part.sep_sel.T)
+    # A_sep rows: (E, R, D, ns) -> (E*R, D*ns), coordinate-major.
+    Jsep = (
+        system.Ja[:, :, :, None] * inc_a_sep[:, None, None, :]
+        + system.Jb[:, :, :, None] * inc_b_sep[:, None, None, :]
+    ).reshape(E * R, D * ns)
+    Wr = jnp.repeat(wsqrt, R)[:, None]
+    Asep = Jsep * Wr
+    C = _mm(Asep.T, Asep)  # (D*ns, D*ns)
+    damp_sep = _mm(part.sep_sel, damp).T.reshape(-1)   # (D*ns,) coord-major
+    pin_sep = _mm(part.sep_sel, pin).T.reshape(-1)
+    C = C + jnp.eye(D * ns, dtype=dtype) * (damp_sep + pin_sep)[None, :]
+
+    rflat = (system.r * wsqrt[:, None]).reshape(E * R)
+    b_sep = -_mm(Asep.T, rflat)  # (D*ns,)
+
+    # ---- per-block interior systems ------------------------------------
+    def block_sys(esel, isel, imask):
+        # Gather this block's edge rows.
+        Ja_k = _mm(esel, system.Ja.reshape(E, R * D)).reshape(ek, R, D)
+        Jb_k = _mm(esel, system.Jb.reshape(E, R * D)).reshape(ek, R, D)
+        w_k = _mm(esel, wsqrt[:, None])[:, 0]
+        r_k = _mm(esel, system.r)          # (ek, R)
+        ia_k = _mm(_mm(esel, edges.inc_a), isel.T)  # (ek, ni)
+        ib_k = _mm(_mm(esel, edges.inc_b), isel.T)
+        sa_k = _mm(esel, inc_a_sep)        # (ek, ns)
+        sb_k = _mm(esel, inc_b_sep)
+
+        Jint = (
+            Ja_k[:, :, :, None] * ia_k[:, None, None, :]
+            + Jb_k[:, :, :, None] * ib_k[:, None, None, :]
+        ).reshape(ek * R, D * ni)
+        Jsep_k = (
+            Ja_k[:, :, :, None] * sa_k[:, None, None, :]
+            + Jb_k[:, :, :, None] * sb_k[:, None, None, :]
+        ).reshape(ek * R, D * ns)
+        wk = jnp.repeat(w_k, R)[:, None]
+        Aint = Jint * wk
+        A = _mm(Aint.T, Aint)              # (D*ni, D*ni)
+        F = _mm(Aint.T, Jsep_k * wk)       # (D*ni, D*ns)
+        b = -_mm(Aint.T, (r_k * w_k[:, None]).reshape(ek * R))
+
+        damp_int = _mm(isel, damp).T.reshape(-1)
+        # Pin padded / edgeless interior slots (mask==0 or zero diagonal).
+        pin_int = jnp.maximum(
+            _mm(isel, pin).T.reshape(-1),
+            jnp.tile(1.0 - imask, (D,)),
+        )
+        A = A + jnp.eye(D * ni, dtype=dtype) * (damp_int + pin_int)[None, :]
+        return A, F, b
+
+    A_b, F_b, b_b = jax.vmap(block_sys)(
+        part.edge_sel, part.int_sel, part.int_mask
+    )
+
+    # ---- eliminate interiors, reduce separator -------------------------
+    chol = jax.vmap(lambda A: jax.scipy.linalg.cho_factor(A, lower=True)[0])(
+        A_b
+    )
+    solve = jax.vmap(
+        lambda L, B: jax.scipy.linalg.cho_solve((L, True), B)
+    )
+    Y = solve(chol, F_b)                   # (P, D*ni, D*ns) = A^-1 F
+    y = solve(chol, b_b[..., None])[..., 0]  # (P, D*ni)
+
+    # The separator reduction: in the distributed variant this contraction
+    # is a psum over the block/device axis.
+    S = C - jnp.einsum("pij,pik->jk", F_b, Y, precision=_PREC)
+    rhs_s = b_sep - jnp.einsum("pij,pi->j", F_b, y, precision=_PREC)
+
+    Ls = jax.scipy.linalg.cho_factor(S, lower=True)
+    x_sep = jax.scipy.linalg.cho_solve(Ls, rhs_s)      # (D*ns,)
+
+    x_int = y - jnp.einsum("pij,j->pi", Y, x_sep, precision=_PREC)
+
+    # ---- scatter back to (N, D) via selection matmuls -------------------
+    x_sep_nd = _mm(part.sep_sel.T, x_sep.reshape(D, ns).T)  # (N, D)
+    x_int_nd = jnp.einsum(
+        "pmn,pmd->nd",
+        part.int_sel,
+        x_int.reshape(P_blk, D, ni).transpose(0, 2, 1),
+        precision=_PREC,
+    )
+    dp = x_sep_nd + x_int_nd
+    return Update(poses=dp, switches=jnp.zeros((E,), dtype))

@@ -1,0 +1,86 @@
+"""Distributed solver tests on the virtual 8-device CPU mesh (SURVEY §4:
+multi-host correctness via ``xla_force_host_platform_device_count``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slam_tpu.config import SolverConfig
+from slam_tpu.io import synthetic
+from slam_tpu.parallel import distributed
+from slam_tpu.parallel.mesh import make_edge_mesh
+from slam_tpu.solver.lm import lm_fixed_iters
+from slam_tpu.solver.problem import anchor_first_node, edge_set_from_graph
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 2, reason="needs multiple (virtual) devices"
+)
+
+
+def _setup(incidence):
+    graph, gt = synthetic.circle_se2(n=48, seed=2)
+    graph = graph.add_random_outliers(5, seed=3)
+    dtype = jnp.float64
+    edges = edge_set_from_graph(graph, dtype=dtype, incidence=incidence)
+    free = anchor_first_node(graph.num_nodes, dtype=dtype)
+    poses0 = jnp.asarray(graph.poses, dtype)
+    return graph, edges, free, poses0
+
+
+@pytest.mark.parametrize("incidence", [False, True])
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_distributed_matches_single_device(incidence, ndev):
+    graph, edges, free, poses0 = _setup(incidence)
+    cfg = SolverConfig(robust="dcs", linear_solver="pcg", dtype="float64",
+                       pcg_max_iters=400, pcg_rtol=1e-10)
+
+    sw0 = jnp.ones((edges.num_edges,), jnp.float64)
+    ref = lm_fixed_iters(poses0, sw0, edges, free, cfg, 5)
+
+    mesh = make_edge_mesh(ndev)
+    padded = distributed.pad_edges_for_mesh(edges, ndev)
+    sharded = distributed.shard_edges(padded, mesh)
+    poses, cost, cost0 = distributed.distributed_lm(
+        poses0, sharded, free, cfg, mesh, num_iters=5
+    )
+
+    # Same linearisation, same lambda schedule, same CG: costs must agree
+    # to floating-point reduction-order tolerance.
+    np.testing.assert_allclose(float(cost0), float(ref.initial_cost), rtol=1e-10)
+    np.testing.assert_allclose(float(cost), float(ref.cost), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(poses), np.asarray(ref.poses), atol=1e-5
+    )
+
+
+def test_distributed_reduces_cost_multi_iter():
+    graph, edges, free, poses0 = _setup(True)
+    cfg = SolverConfig(robust="dcs", linear_solver="pcg", dtype="float64",
+                       pcg_max_iters=400)
+    mesh = make_edge_mesh(8)
+    padded = distributed.pad_edges_for_mesh(edges, 8)
+    sharded = distributed.shard_edges(padded, mesh)
+    poses, cost, cost0 = distributed.distributed_lm(
+        poses0, sharded, free, cfg, mesh, num_iters=20
+    )
+    # Monotone progress; exact parity with the single-device path is covered
+    # by test_distributed_matches_single_device.
+    assert float(cost) < 0.8 * float(cost0)
+
+
+def test_padding_neutral():
+    """Padding edges to the mesh multiple must not change the objective."""
+    graph, edges, free, poses0 = _setup(False)
+    cfg = SolverConfig(robust="none", linear_solver="pcg", dtype="float64")
+    sw = jnp.ones((edges.num_edges,), jnp.float64)
+    from slam_tpu.solver.linearize import cost_only
+    kw = dict(model=None, robust="none", dcs_phi=0.5, huber_delta=0.01,
+              sc_prior_lambda=1.0)
+    from slam_tpu.solver.models import SE2Model
+    kw["model"] = SE2Model
+    c1 = float(cost_only(poses0, sw, edges, **kw))
+    padded = distributed.pad_edges_for_mesh(edges, 8)
+    swp = jnp.ones((padded.num_edges,), jnp.float64)
+    c2 = float(cost_only(poses0, swp, padded, **kw))
+    assert abs(c1 - c2) < 1e-12

@@ -1,0 +1,130 @@
+"""End-to-end tests for the method drivers (0/1/2 pipeline, 3 layering,
+4 MCTS), including the reference-format ``save/`` artifacts."""
+
+import os
+
+import numpy as np
+import pytest
+
+from slam_tpu.config import (
+    LayeringConfig,
+    MctsConfig,
+    RunConfig,
+    SolverConfig,
+)
+from slam_tpu.eval import metrics
+from slam_tpu.io import g2o, synthetic
+from slam_tpu.methods.global_solve import run_global_solve
+from slam_tpu.methods.layering import LayeringManager
+from slam_tpu.methods.mcts import MctsManager
+from slam_tpu.utils.logging import RunLogger
+
+
+@pytest.fixture(scope="module")
+def dirty_circle():
+    graph, gt = synthetic.circle_se2(n=64, seed=1)
+    return graph.add_random_outliers(6, seed=9), gt
+
+
+_SOLVER = SolverConfig(linear_solver="dense", dtype="float64")
+
+
+def test_global_solve_pipeline(tmp_path, dirty_circle):
+    graph, gt = dirty_circle
+    cfg = RunConfig(method=1, solver=_SOLVER, save_path=str(tmp_path))
+    out = run_global_solve(graph, cfg)
+    assert float(out.result.cost) < float(out.result.initial_cost)
+    assert out.poses.shape == graph.poses.shape
+    assert metrics.ate(out.poses, gt) < metrics.ate(graph.poses, gt)
+
+
+def test_layering_manager_runs(dirty_circle):
+    graph, gt = dirty_circle
+    mgr = LayeringManager(
+        graph,
+        LayeringConfig(local_iters=2, max_layers=8),
+        _SOLVER,
+        RunLogger(echo=False),
+    )
+    out = mgr.run()
+    n_loops = graph.num_closure + graph.num_bogus
+    assert len(out.assignments) == n_loops
+    # Every loop edge assigned to a layer >= 1, and present in that
+    # layer's mask.  (Layer masks can overlap: split children inherit the
+    # parent's edges, ``layer_manager.cpp:89-90``.)
+    g = graph.canonical_order()
+    loop_pos = list(np.where(g.edge_type != 0)[0])
+    for i, k in out.assignments:
+        assert k >= 1
+        assert out.layers[k].mask[loop_pos[i]]
+    assert out.poses.shape == graph.poses.shape
+    # Best layer should carry an optimised (improved or equal) trajectory.
+    assert metrics.ate(out.poses, gt) <= metrics.ate(graph.poses, gt) * 1.5
+
+
+def test_mcts_manager_runs(dirty_circle):
+    graph, gt = dirty_circle
+    mgr = MctsManager(
+        graph,
+        MctsConfig(local_iters=2, max_layers=8),
+        _SOLVER,
+        RunLogger(echo=False),
+    )
+    out = mgr.run()
+    # Gated edges may be skipped (simple_layer_manager.cpp:92-95); the rest
+    # are assigned.
+    n_loops = graph.num_closure + graph.num_bogus
+    assert 0 < len(out.assignments) <= n_loops
+    assert out.best_layer in out.layers
+    assert out.most_visited_layer in out.layers
+    assert out.most_edges_layer in out.layers
+    root = out.layers[mgr.root_id]
+    assert root.visits >= len(out.assignments), "backprop reaches the root"
+
+
+def test_method3_artifacts(tmp_path, monkeypatch, dirty_circle):
+    graph, _ = dirty_circle
+    from slam_tpu.methods import layering as L
+
+    path = tmp_path / "circle.g2o"
+    g2o.write_g2o(str(path), graph)
+    cfg = RunConfig(
+        dataset=str(path), num_outliers=0, method=3,
+        save_path=str(tmp_path / "save"),
+        solver=_SOLVER,
+        layering=LayeringConfig(max_layers=6),
+    )
+    out = L.run_from_config(cfg)
+    for f in ("init_nodes.txt", "init_edges.txt", "layers.txt",
+              "opt_nodes.txt", "opt_nodes_method3.txt",
+              "opt_nodes_most_selected.txt", "method3.log",
+              "plot_best.png", "plot_most_selected.png"):
+        assert os.path.exists(os.path.join(cfg.save_path, f)), f
+    layers_txt = np.loadtxt(os.path.join(cfg.save_path, "layers.txt"), dtype=int)
+    assert layers_txt.shape[1] == 2
+
+
+def test_method4_artifacts(tmp_path, dirty_circle):
+    graph, _ = dirty_circle
+    from slam_tpu.methods import mcts as M
+
+    path = tmp_path / "circle.g2o"
+    g2o.write_g2o(str(path), graph)
+    cfg = RunConfig(
+        dataset=str(path), num_outliers=0, method=4,
+        save_path=str(tmp_path / "save"),
+        solver=_SOLVER,
+        mcts=MctsConfig(max_layers=6),
+    )
+    out = M.run_from_config(cfg)
+    for f in ("opt_nodes.txt", "opt_nodes_most_visited.txt",
+              "opt_nodes_most_edges.txt", "method4_stats.txt",
+              "method4.log", "method4_comparison.png"):
+        assert os.path.exists(os.path.join(cfg.save_path, f)), f
+    with open(os.path.join(cfg.save_path, "method4_stats.txt")) as f:
+        header = f.readline()
+    # Exact reference header (simple_layer_manager.cpp:766).
+    assert header == (
+        "# layer_id visits total_reward avg_reward normalized_reward "
+        "total_edges inherited_edges added_edges\n"
+    )
