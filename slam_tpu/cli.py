@@ -33,6 +33,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("num_outliers", type=int, help="number of bogus loops to inject")
     p.add_argument("method", type=int, choices=[0, 1, 2, 3, 4],
                    help="0=baseline 1=DCS 2=SC 3=layering 4=MCTS")
+    p.add_argument("--sweep", action="store_true",
+                   help="run the full outlier sweep grid (methods x counts) "
+                        "instead of a single solve; num_outliers becomes the "
+                        "maximum count and method the maximum method id")
+    p.add_argument("--sweep-seeds", type=int, default=1,
+                   help="number of outlier seeds per sweep cell")
     p.add_argument("--save-path", default="save")
     p.add_argument("--seed", type=int, default=0,
                    help="outlier-injection PRNG seed (reference: srand(time(0)))")
@@ -40,9 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--huber-delta", type=float, default=0.01)
     p.add_argument("--sc-lambda", type=float, default=1.0)
     p.add_argument("--max-iterations", type=int, default=50)
-    p.add_argument("--linear-solver", default=None,
-                   choices=[None, "dense", "pcg", "schur"],
-                   help="default: dense for small graphs, pcg for large")
+    p.add_argument("--linear-solver", default="auto",
+                   choices=["auto", "dense", "pcg", "schur"],
+                   help="auto: dense below ~2k nodes, schur above")
     p.add_argument("--dtype", default=None, choices=[None, "float32", "float64"],
                    help="default: float32 on TPU, float64 on CPU")
     p.add_argument("--plot", action="store_true", help="write trajectory PNG")
@@ -62,7 +68,7 @@ def config_from_args(args) -> RunConfig:
         huber_delta=args.huber_delta,
         sc_prior_lambda=args.sc_lambda,
         max_iterations=args.max_iterations,
-        linear_solver=linear_solver or "dense",
+        linear_solver=linear_solver,
         dtype=dtype,
     )
     return RunConfig(
@@ -81,12 +87,28 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
 
-    if args.linear_solver is None:
-        # Heuristic: dense Cholesky up to ~2k nodes, PCG beyond.
-        from slam_tpu.io import g2o as g2o_io
-        graph = g2o_io.load_g2o(g2o_io.find_dataset(cfg.dataset))
-        solver = "dense" if graph.num_nodes <= 2048 else "pcg"
-        cfg = RunConfig(**{**cfg.__dict__, "solver": cfg.solver.replace(linear_solver=solver)})
+    if args.sweep:
+        from slam_tpu.eval import harness
+        from slam_tpu.utils.logging import RunLogger
+        import os
+        os.makedirs(cfg.save_path, exist_ok=True)
+        counts = sorted({0, *(c for c in (10, 50, 100) if c <= cfg.num_outliers),
+                         cfg.num_outliers})
+        methods = [m for m in (0, 1, 2) if m <= max(cfg.method, 1)]
+        logger = RunLogger(os.path.join(cfg.save_path, "sweep.log"))
+        cells = harness.run_sweep(
+            cfg.dataset,
+            methods=methods,
+            outlier_counts=counts,
+            seeds=list(range(args.sweep_seeds)),
+            solver=cfg.solver,
+            reference_nodes=args.eval_against,
+            save_path=cfg.save_path,
+            logger=logger,
+        )
+        print(harness.format_table(cells))
+        logger.close()
+        return 0
 
     if cfg.method in (0, 1, 2):
         from slam_tpu.methods.global_solve import run_from_config

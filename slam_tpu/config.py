@@ -41,9 +41,10 @@ class SolverConfig:
     min_lambda: float = 1e-12
     max_lambda: float = 1e10
 
-    # Linear solver: "dense" (Cholesky), "pcg" (block-Jacobi preconditioned
-    # CG), or "schur" (partitioned two-level direct solve).
-    linear_solver: str = "pcg"
+    # Linear solver: "auto" (dense below ~2k nodes, schur above), "dense"
+    # (MXU Cholesky), "pcg" (block-Jacobi preconditioned CG), or "schur"
+    # (partitioned two-level direct solve).
+    linear_solver: str = "auto"
     pcg_max_iters: int = 250
     pcg_rtol: float = 1e-8
 

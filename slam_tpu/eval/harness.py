@@ -1,0 +1,147 @@
+"""Outlier-sweep evaluation harness.
+
+The reference's evaluation is manual: run ``do_build.sh DATASET N METHOD``
+per cell of an (outlier-count x DCS-on/off) grid and eyeball the plots
+(``README.md:38-44``).  This harness runs the grid programmatically --
+BASELINE.json's configs are the default -- and emits a quantitative table:
+final cost, ATE vs the clean solve (and vs any external reference
+trajectory), collapse score, iteration counts and wall time.
+
+Outlier injection is seeded, and the injected edge set can be serialised to
+g2o for apples-to-apples replay through other systems (SURVEY §7
+'Nondeterministic reference').
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+
+from slam_tpu.config import RunConfig, SolverConfig
+from slam_tpu.eval import metrics
+from slam_tpu.graph import PoseGraph
+from slam_tpu.io import g2o
+from slam_tpu.methods.global_solve import run_global_solve
+from slam_tpu.utils.logging import RunLogger
+
+
+@dataclasses.dataclass
+class SweepCell:
+    dataset: str
+    method: int
+    num_outliers: int
+    seed: int
+    final_cost: float
+    initial_cost: float
+    iterations: int
+    converged: bool
+    wall_s: float
+    ate_vs_clean: float
+    collapse_score: float
+    ate_vs_reference: float | None = None
+
+    def row(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+def run_sweep(
+    dataset: str,
+    methods: list[int] = (0, 1),
+    outlier_counts: list[int] = (0, 10, 50, 100),
+    seeds: list[int] = (0,),
+    solver: SolverConfig | None = None,
+    reference_nodes: str | None = None,
+    save_path: str | None = None,
+    logger: RunLogger | None = None,
+) -> list[SweepCell]:
+    """Run the (method x outliers x seed) grid on one dataset."""
+    logger = logger or RunLogger()
+    solver = solver or SolverConfig()
+    graph = g2o.load_g2o(g2o.find_dataset(dataset))
+
+    ref_ext = (
+        g2o.load_nodes(reference_nodes) if reference_nodes else None
+    )
+
+    # Clean baseline (method 0, no outliers) anchors the ATE comparisons.
+    clean_cfg = RunConfig(dataset=dataset, method=0, num_outliers=0,
+                          solver=solver)
+    clean = run_global_solve(graph, clean_cfg, logger)
+    clean_poses = clean.poses
+
+    cells: list[SweepCell] = []
+    for method in methods:
+        for count in outlier_counts:
+            for seed in seeds:
+                dirty = graph.add_random_outliers(count, seed=seed)
+                cfg = RunConfig(dataset=dataset, method=method,
+                                num_outliers=count, seed=seed, solver=solver)
+                out = run_global_solve(dirty, cfg, logger)
+                cell = SweepCell(
+                    dataset=dataset,
+                    method=method,
+                    num_outliers=count,
+                    seed=seed,
+                    final_cost=float(out.result.cost),
+                    initial_cost=float(out.result.initial_cost),
+                    iterations=int(out.result.iterations),
+                    converged=bool(out.result.converged),
+                    wall_s=out.wall_time_s,
+                    ate_vs_clean=metrics.ate(out.poses, clean_poses),
+                    collapse_score=metrics.collapse_score(
+                        out.poses, clean_poses
+                    ),
+                    ate_vs_reference=(
+                        metrics.ate(out.poses, ref_ext)
+                        if ref_ext is not None else None
+                    ),
+                )
+                cells.append(cell)
+                logger.log(
+                    "sweep", dataset=dataset, method=method,
+                    outliers=count, seed=seed,
+                    ate_vs_clean=cell.ate_vs_clean,
+                    collapse=cell.collapse_score,
+                    cost=cell.final_cost, wall_s=cell.wall_s,
+                )
+
+    if save_path:
+        os.makedirs(save_path, exist_ok=True)
+        with open(os.path.join(save_path, "sweep.json"), "w") as f:
+            json.dump([c.row() for c in cells], f, indent=2)
+        with open(os.path.join(save_path, "sweep.md"), "w") as f:
+            f.write(format_table(cells))
+    return cells
+
+
+def format_table(cells: list[SweepCell]) -> str:
+    """Markdown table mirroring the reference's qualitative grid, made
+    quantitative."""
+    lines = [
+        "| dataset | method | outliers | seed | ATE vs clean (m) | collapse "
+        "| final cost | iters | wall (s) |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    names = {0: "baseline", 1: "DCS", 2: "SC", 3: "layering", 4: "MCTS"}
+    for c in cells:
+        lines.append(
+            f"| {c.dataset} | {names.get(c.method, c.method)} | "
+            f"{c.num_outliers} | {c.seed} | {c.ate_vs_clean:.3f} | "
+            f"{c.collapse_score:.2f} | {c.final_cost:.4f} | {c.iterations} | "
+            f"{c.wall_s:.2f} |"
+        )
+    return "\n".join(lines) + "\n"
+
+
+def replay_outliers_to_g2o(
+    dataset: str, num_outliers: int, seed: int, out_path: str
+) -> PoseGraph:
+    """Serialise dataset+injected outliers so the identical dirty graph can
+    be solved by an external system (e.g. the reference's Ceres binary)."""
+    graph = g2o.load_g2o(g2o.find_dataset(dataset))
+    dirty = graph.add_random_outliers(num_outliers, seed=seed)
+    g2o.write_g2o(out_path, dirty)
+    return dirty

@@ -75,13 +75,33 @@ def _parse_records(text: str, tag: str, ncols: int) -> np.ndarray:
     )[:, :ncols]
 
 
-def load_g2o(path: str) -> PoseGraph:
+def load_g2o(path: str, use_native: bool | None = None) -> PoseGraph:
     """Parse a 2D or 3D g2o file into a :class:`PoseGraph`.
 
     2D edges are classified odometry vs closure with the reference's
     ``|a-b| < 5`` rule (``g2o_util.h:68``); vertices are assumed densely
     indexed from 0 (as the reference assumes via ``nNodes[a_indx]``).
+
+    ``use_native`` selects the C++ tokenizer (``native/g2o_io.cpp``); the
+    default tries native and falls back to the NumPy parser (identical
+    output, tested equal).
     """
+    if use_native is not False:
+        from slam_tpu.io import native as _native
+
+        arrays = None
+        try:
+            arrays = _native.parse_g2o_arrays(path)
+        except FileNotFoundError:
+            raise
+        except Exception:
+            if use_native:  # explicitly requested
+                raise
+        if arrays is not None:
+            return _graph_from_native(arrays, path)
+        if use_native:
+            raise RuntimeError("native g2o parser unavailable")
+
     with open(path) as f:
         text = f.read()
 
@@ -115,6 +135,36 @@ def load_g2o(path: str) -> PoseGraph:
         edges_ij=ij,
         edges_meas=meas,
         edges_info=info,
+        edge_type=etype,
+    ).canonical_order()
+
+
+def _graph_from_native(arrays, path: str) -> PoseGraph:
+    """Assemble a PoseGraph from native-parsed record arrays."""
+    v2, e2, v3, e3 = (arrays[k] for k in ("v2", "e2", "v3", "e3"))
+    if v3.shape[0] > 0:
+        order = np.argsort(v3[:, 0], kind="stable")
+        v3 = v3[order]
+        poses = np.concatenate([v3[:, 1:4], v3[:, 7:8], v3[:, 4:7]], 1)
+        ij = e3[:, 0:2].astype(np.int32)
+        meas = np.concatenate([e3[:, 2:5], e3[:, 8:9], e3[:, 5:8]], 1)
+        info = e3[:, 9:30]
+    elif v2.shape[0] > 0:
+        order = np.argsort(v2[:, 0], kind="stable")
+        v2 = v2[order]
+        poses = v2[:, 1:4]
+        ij = e2[:, 0:2].astype(np.int32)
+        meas = e2[:, 2:5]
+        info = e2[:, 5:11]
+    else:
+        raise ValueError(f"no vertices found in {path}")
+    etype = np.where(
+        np.abs(ij[:, 0] - ij[:, 1]) < ODOMETRY_INDEX_GAP,
+        ODOMETRY_EDGE,
+        CLOSURE_EDGE,
+    ).astype(np.int8)
+    return PoseGraph(
+        poses=poses, edges_ij=ij, edges_meas=meas, edges_info=info,
         edge_type=etype,
     ).canonical_order()
 
@@ -154,9 +204,13 @@ def write_nodes(path: str, poses: np.ndarray) -> None:
     """``init_nodes.txt`` / ``opt_nodes.txt`` format: ``index x y theta``.
 
     Matches ``writePoseGraph_nodes`` (``g2o_util.h:93-102``).  For SE(3)
-    poses, all components are written after the index.
+    poses, all components are written after the index.  Uses the native C++
+    writer when built; NumPy fallback otherwise.
     """
-    poses = np.asarray(poses)
+    poses = np.asarray(poses, np.float64)
+    from slam_tpu.io import native as _native
+    if _native.write_nodes_native(path, poses):
+        return
     idx = np.arange(poses.shape[0])[:, None]
     np.savetxt(path, np.concatenate([idx, poses], axis=1), fmt="%.18g")
 

@@ -45,24 +45,59 @@ class GlobalSolveOutput:
     wall_time_s: float
 
 
+def pick_linear_solver(graph: PoseGraph, robust: str) -> str:
+    """Size/robustness-based default: dense MXU Cholesky is exact and fast
+    up to ~2k nodes; beyond that f32 dense both slows (O(n^3)) and loses
+    accuracy, so the partitioned Schur solver takes over.  SC carries extra
+    switch unknowns that only the dense path assembles today."""
+    if robust == "sc":
+        return "dense"
+    return "dense" if graph.num_nodes <= 2048 else "schur"
+
+
 def run_global_solve(
     graph: PoseGraph,
     cfg: RunConfig,
     logger: RunLogger | None = None,
 ) -> GlobalSolveOutput:
     """Solve a (possibly outlier-injected) graph with method 0, 1 or 2."""
+    from slam_tpu.solver.models import SE2Model, SE3Model
+
     logger = logger or RunLogger()
     scfg = solver_config_for_method(cfg.method, cfg.solver)
+    if scfg.linear_solver == "auto":
+        scfg = scfg.replace(linear_solver=pick_linear_solver(graph, scfg.robust))
     dtype = jnp.dtype(scfg.dtype)
+    model = SE3Model if graph.dim == 7 else SE2Model
 
-    edges = edge_set_from_graph(graph, dtype=dtype)
-    free = anchor_first_node(graph.num_nodes, dtype=dtype)
-    poses0 = jnp.asarray(graph.poses, dtype)
+    canon = graph.canonical_order()
+    # Bucket-pad the edge count so sweeps over outlier counts (E changes by
+    # a few dozen) reuse one compiled program; inactive padding is free.
+    pad_to = -(-canon.num_edges // 256) * 256
+    edges = edge_set_from_graph(canon, dtype=dtype, pad_to=pad_to)
+    free = anchor_first_node(canon.num_nodes, dtype=dtype)
+    poses0 = jnp.asarray(canon.poses, dtype)
     # Switch variables initialised to 1.0 (``main.cpp:117``).
     switches0 = jnp.ones((edges.num_edges,), dtype)
 
+    partition = None
+    if scfg.linear_solver == "schur":
+        from slam_tpu.solver.schur import build_partition
+
+        nblocks = min(8, max(2, canon.num_nodes // 512))
+        partition = build_partition(
+            canon.edges_ij, canon.num_nodes, nblocks, dtype=dtype
+        )
+        logger.log(
+            "partition", blocks=nblocks, ni_max=partition.ni_max,
+            ns=partition.ns, ek_max=partition.ek_max,
+        )
+
     t0 = time.perf_counter()
-    res = lm_solve(poses0, switches0, edges, free, scfg)
+    res = lm_solve(
+        poses0, switches0, edges, free, scfg,
+        model=model, partition=partition,
+    )
     jax.block_until_ready(res.poses)
     wall = time.perf_counter() - t0
 

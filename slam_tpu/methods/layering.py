@@ -100,8 +100,14 @@ class LayeringManager:
         solver = solver or SolverConfig()
         # Layer evaluation solves are plain (OdometryResidue for every edge,
         # Huber only -- ``layer_manager.cpp:114-122``).
+        linear = solver.linear_solver
+        if linear in ("auto", "schur"):
+            # The masked sub-problems keep full static shape; dense is right
+            # for small graphs, PCG beyond (schur partitions don't apply to
+            # the shifting window structure).
+            linear = "dense" if self.graph.num_nodes <= 2048 else "pcg"
         self.eval_cfg = solver.replace(
-            robust="none", huber_delta=cfg.huber_delta
+            robust="none", huber_delta=cfg.huber_delta, linear_solver=linear
         )
         self.dtype = jnp.dtype(self.eval_cfg.dtype)
 

@@ -69,7 +69,12 @@ class MctsManager:
         self.log = logger or RunLogger()
 
         solver = solver or SolverConfig()
-        self.eval_cfg = solver.replace(robust="none", huber_delta=cfg.huber_delta)
+        linear = solver.linear_solver
+        if linear in ("auto", "schur"):
+            linear = "dense" if graph.num_nodes <= 2048 else "pcg"
+        self.eval_cfg = solver.replace(
+            robust="none", huber_delta=cfg.huber_delta, linear_solver=linear
+        )
         self.dtype = jnp.dtype(self.eval_cfg.dtype)
         self.edges = edge_set_from_graph(self.graph, dtype=self.dtype)
         self.E = self.edges.num_edges

@@ -102,6 +102,8 @@ def distributed_lm(
         raise NotImplementedError(
             "switchable constraints use the single-device path"
         )
+    # The distributed step always runs collective PCG regardless of the
+    # single-device linear_solver setting.
     dtype = jnp.dtype(cfg.dtype)
     poses0 = poses0.astype(dtype)
     nd = mesh.shape[EDGE_AXIS]
