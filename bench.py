@@ -87,12 +87,21 @@ def main() -> int:
         )
         return 1
 
+    # Timing note: on the axon remote backend, block_until_ready can return
+    # before execution for repeated identical programs; forcing a host
+    # transfer of the result (device_get) is the reliable barrier.  Inputs
+    # are also perturbed per rep so no layer can serve a cached result.
+    import numpy as _np
+    rng = _np.random.default_rng(1)
     reps = 3
     best = float("inf")
     for _ in range(reps):
+        poses_r = poses0 + jnp.asarray(
+            rng.normal(0, 1e-6, poses0.shape), jnp.float32
+        )
         t0 = time.perf_counter()
-        out = batched_solve(poses0, edges_b)
-        jax.block_until_ready(out)
+        out = batched_solve(poses_r, edges_b)
+        _ = jax.device_get(out)
         best = min(best, time.perf_counter() - t0)
 
     iters_per_s = BATCH * LM_ITERS / best

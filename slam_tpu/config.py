@@ -51,6 +51,10 @@ class SolverConfig:
     # Numerics.  float32 is TPU-native; tests validate f32 vs f64 fixed points.
     dtype: str = "float32"
 
+    # Fused Pallas linearisation kernel (SE(2), robust none/dcs).  "auto"
+    # enables it on TPU backends; tests exercise it on CPU in interpret mode.
+    use_pallas: str = "auto"
+
     def replace(self, **kw) -> "SolverConfig":
         return dataclasses.replace(self, **kw)
 

@@ -131,13 +131,29 @@ class PoseGraph:
         b = rng.integers(0, n, size=count)
         collide = a == b
         b = np.where(collide, (b + 1) % n, b)
-        if zero_measurement:
-            meas = np.zeros((count, 3))
+        if self.dim == 7:
+            # SE(3) extension of the recipe: uniform small translation plus
+            # a random unit-quaternion rotation; diag information matrix.
+            t = (
+                np.zeros((count, 3))
+                if zero_measurement
+                else rng.uniform(0.0, 1.0, size=(count, 3))
+            )
+            q = rng.normal(size=(count, 4))
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            q[:, 0] = np.abs(q[:, 0])
+            meas = np.concatenate([t, q], axis=1)
+            info_row = np.zeros(21)
+            info_row[[0, 6, 11, 15, 18, 20]] = [2.0, 2.0, 2.0, 300.0, 300.0, 300.0]
+            info = np.tile(info_row, (count, 1))
         else:
-            meas = rng.uniform(0.0, 1.0, size=(count, 3))
-        info = np.tile(
-            np.array([2.0, 0.0, 0.0, 300.0, 0.0, 300.0]), (count, 1)
-        )
+            if zero_measurement:
+                meas = np.zeros((count, 3))
+            else:
+                meas = rng.uniform(0.0, 1.0, size=(count, 3))
+            info = np.tile(
+                np.array([2.0, 0.0, 0.0, 300.0, 0.0, 300.0]), (count, 1)
+            )
         return PoseGraph(
             poses=self.poses.copy(),
             edges_ij=np.concatenate(

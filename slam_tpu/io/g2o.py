@@ -265,10 +265,26 @@ def load_nodes(path: str) -> np.ndarray:
 
 
 def write_g2o(path: str, graph: PoseGraph) -> None:
-    """Serialise a 2D PoseGraph back to g2o (for replaying injected outlier
-    sets through other systems -- see SURVEY §7 'Nondeterministic reference')."""
+    """Serialise a PoseGraph back to g2o (2D SE2 or 3D SE3:QUAT) -- for
+    replaying injected outlier sets through other systems (SURVEY §7
+    'Nondeterministic reference') and for generating datasets."""
     g = graph.canonical_order()
     with open(path, "w") as f:
+        if g.dim == 7:
+            # storage [x y z qw qx qy qz] -> file order x y z qx qy qz qw
+            for i, p in enumerate(g.poses):
+                f.write(
+                    "VERTEX_SE3:QUAT "
+                    f"{i} {p[0]:.17g} {p[1]:.17g} {p[2]:.17g} "
+                    f"{p[4]:.17g} {p[5]:.17g} {p[6]:.17g} {p[3]:.17g}\n"
+                )
+            for (a, b), m, info in zip(g.edges_ij, g.edges_meas, g.edges_info):
+                vals = " ".join(
+                    f"{v:.17g}"
+                    for v in (m[0], m[1], m[2], m[4], m[5], m[6], m[3], *info)
+                )
+                f.write(f"EDGE_SE3:QUAT {a} {b} {vals}\n")
+            return
         for i, p in enumerate(g.poses):
             f.write(f"VERTEX_SE2 {i} {p[0]:.17g} {p[1]:.17g} {p[2]:.17g}\n")
         for (a, b), m, info in zip(g.edges_ij, g.edges_meas, g.edges_info):

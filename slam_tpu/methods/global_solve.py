@@ -85,8 +85,11 @@ def run_global_solve(
         from slam_tpu.solver.schur import build_partition
 
         nblocks = min(8, max(2, canon.num_nodes // 512))
+        # Partition over the PADDED edge list so shapes line up with the
+        # EdgeSet; pad edges self-loop on node 0 (a separator) with zero
+        # weight, so they are unowned and contribute nothing.
         partition = build_partition(
-            canon.edges_ij, canon.num_nodes, nblocks, dtype=dtype
+            np.asarray(edges.ij), canon.num_nodes, nblocks, dtype=dtype
         )
         logger.log(
             "partition", blocks=nblocks, ni_max=partition.ni_max,

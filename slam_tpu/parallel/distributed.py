@@ -30,7 +30,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.8 moved shard_map out of experimental
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 from slam_tpu.config import SolverConfig
 from slam_tpu.parallel.mesh import EDGE_AXIS, pad_to_multiple
@@ -197,7 +200,6 @@ def distributed_lm(
         mesh=mesh,
         in_specs=(P(), _edge_specs(edges), P()),
         out_specs=(P(), P(), P()),
-        check_rep=False,
     )
     def run(poses, edges_sharded, free_node):
         free_local = FreeMask(node=free_node)

@@ -1,0 +1,338 @@
+"""Distributed Schur-complement LM over a device mesh.
+
+The full BASELINE.json design: the pose graph is partitioned into contiguous
+map blocks, ONE BLOCK PER DEVICE.  Each device owns its block's edges
+(interior + its share of pure-separator edges), linearises them locally,
+eliminates its interior with a dense Cholesky, and the small separator system
+is reduced across the mesh with psum collectives (ICI):
+
+    per-device:  A_k = J_int^T W J_int,  F_k = J_int^T W J_sep,
+                 C_k, b_k, b_sep_k   (local edges only)
+    collective:  S   = psum(C_k - F_k^T A_k^-1 F_k) + damp_sep
+                 rhs = psum(b_sep_k - F_k^T A_k^-1 b_k)
+    replicated:  solve S x_sep = rhs  (small dense Cholesky, every device)
+    per-device:  x_int_k = A_k^-1 (b_k - F_k x_sep)
+    collective:  poses update = psum(scatter x_int_k) + scatter x_sep
+
+Every edge lives on exactly one device, so all psums are plain partial-sum
+reductions.  The same program runs on a virtual CPU mesh (tests/dryrun) and
+a TPU slice.  Single-chip equivalence is guaranteed by construction: the
+math is identical to ``solver/schur.py`` (which is tested exact against
+dense).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+try:  # jax >= 0.8 moved shard_map out of experimental
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from slam_tpu.config import SolverConfig
+from slam_tpu.graph import ODOMETRY_EDGE, PoseGraph
+from slam_tpu.parallel.mesh import BLOCK_AXIS
+from slam_tpu.solver.linearize import cost_only, linearize
+from slam_tpu.solver.models import SE2Model
+from slam_tpu.solver.problem import EdgeSet, FreeMask
+
+Array = jax.Array
+_PREC = jax.lax.Precision.HIGHEST
+
+
+@dataclasses.dataclass(frozen=True)
+class DistSchurProblem:
+    """Host-built, statically-shaped per-device problem data.
+
+    Leading axis P = number of blocks = mesh size.  ``edges`` carries each
+    device's padded edge shard (with full-width (ek, N) incidence for pose
+    gathers); ``inc_int``/``inc_sep`` map local edges onto the block's
+    interior slots and the global separator slots.
+    """
+
+    edges: EdgeSet          # arrays with leading (P, ek, ...) axes
+    inc_int_a: Array        # (P, ek, ni)
+    inc_int_b: Array
+    inc_sep_a: Array        # (P, ek, ns)
+    inc_sep_b: Array
+    int_sel: Array          # (P, ni, N)
+    int_mask: Array         # (P, ni) -- 1 for real interior slots
+    sep_sel: Array          # (ns, N) -- replicated
+    num_blocks: int
+    ni: int
+    ns: int
+    ek: int
+
+    def __hash__(self):
+        return hash((self.num_blocks, self.ni, self.ns, self.ek))
+
+    def __eq__(self, other):
+        return self is other
+
+
+def build_dist_problem(
+    graph: PoseGraph, num_blocks: int, dtype=jnp.float32
+) -> DistSchurProblem:
+    """Partition + per-device edge shards (every edge on exactly one device)."""
+    g = graph.canonical_order()
+    ij = g.edges_ij
+    n = g.num_nodes
+    E = g.num_edges
+
+    block_size = -(-n // num_blocks)
+    node_block = np.minimum(np.arange(n) // block_size, num_blocks - 1)
+    ba, bb = node_block[ij[:, 0]], node_block[ij[:, 1]]
+    sep = np.zeros(n, bool)
+    cross = ba != bb
+    sep[ij[cross, 0]] = True
+    sep[ij[cross, 1]] = True
+    sep[0] = True
+
+    sep_ids = np.where(sep)[0]
+    ns = len(sep_ids)
+    sep_slot = np.full(n, -1)
+    sep_slot[sep_ids] = np.arange(ns)
+
+    interior_ids = [
+        np.where((node_block == k) & ~sep)[0] for k in range(num_blocks)
+    ]
+    ni = max(1, max(len(x) for x in interior_ids))
+    int_slot = np.full(n, -1)
+    for k, ids in enumerate(interior_ids):
+        int_slot[ids] = np.arange(len(ids))
+
+    owner = np.full(E, -1)
+    a_int = ~sep[ij[:, 0]]
+    b_int = ~sep[ij[:, 1]]
+    owner[a_int] = ba[a_int]
+    sel = b_int & (owner < 0)
+    owner[sel] = bb[sel]
+    # Pure-separator edges: deal them round-robin across devices.
+    pure = np.where(owner < 0)[0]
+    owner[pure] = np.arange(len(pure)) % num_blocks
+
+    per_block = [np.where(owner == k)[0] for k in range(num_blocks)]
+    ek = max(1, max(len(x) for x in per_block))
+
+    def padded(field, fill=0.0):
+        out = np.full((num_blocks, ek) + field.shape[1:], fill, field.dtype)
+        for k, ids in enumerate(per_block):
+            out[k, : len(ids)] = field[ids]
+        return out
+
+    ij_p = padded(ij.astype(np.int32))
+    meas_p = padded(g.edges_meas)
+    info_p = padded(g.edges_info)
+    loop_p = padded((g.edge_type != ODOMETRY_EDGE).astype(np.float64))
+    active_p = np.zeros((num_blocks, ek))
+    for k, ids in enumerate(per_block):
+        active_p[k, : len(ids)] = 1.0
+
+    # Incidence operators.
+    inc_a = np.zeros((num_blocks, ek, n), np.float32)
+    inc_b = np.zeros((num_blocks, ek, n), np.float32)
+    inc_ia = np.zeros((num_blocks, ek, ni), np.float32)
+    inc_ib = np.zeros((num_blocks, ek, ni), np.float32)
+    inc_sa = np.zeros((num_blocks, ek, ns), np.float32)
+    inc_sb = np.zeros((num_blocks, ek, ns), np.float32)
+    for k, ids in enumerate(per_block):
+        for r, e in enumerate(ids):
+            a, b = ij[e]
+            inc_a[k, r, a] = 1.0
+            inc_b[k, r, b] = 1.0
+            if int_slot[a] >= 0 and node_block[a] == k:
+                inc_ia[k, r, int_slot[a]] = 1.0
+            if int_slot[b] >= 0 and node_block[b] == k:
+                inc_ib[k, r, int_slot[b]] = 1.0
+            if sep_slot[a] >= 0:
+                inc_sa[k, r, sep_slot[a]] = 1.0
+            if sep_slot[b] >= 0:
+                inc_sb[k, r, sep_slot[b]] = 1.0
+
+    int_sel = np.zeros((num_blocks, ni, n), np.float32)
+    int_mask = np.zeros((num_blocks, ni), np.float32)
+    for k, ids in enumerate(interior_ids):
+        int_sel[k, np.arange(len(ids)), ids] = 1.0
+        int_mask[k, : len(ids)] = 1.0
+    sep_sel = np.zeros((ns, n), np.float32)
+    sep_sel[np.arange(ns), sep_ids] = 1.0
+
+    edges = EdgeSet(
+        ij=jnp.asarray(ij_p),
+        meas=jnp.asarray(meas_p, dtype),
+        is_loop=jnp.asarray(loop_p.astype(bool)),
+        active=jnp.asarray(active_p, dtype),
+        info=jnp.asarray(info_p, dtype),
+        inc_a=jnp.asarray(inc_a, dtype),
+        inc_b=jnp.asarray(inc_b, dtype),
+    )
+    return DistSchurProblem(
+        edges=edges,
+        inc_int_a=jnp.asarray(inc_ia, dtype),
+        inc_int_b=jnp.asarray(inc_ib, dtype),
+        inc_sep_a=jnp.asarray(inc_sa, dtype),
+        inc_sep_b=jnp.asarray(inc_sb, dtype),
+        int_sel=jnp.asarray(int_sel, dtype),
+        int_mask=jnp.asarray(int_mask, dtype),
+        sep_sel=jnp.asarray(sep_sel, dtype),
+        num_blocks=num_blocks,
+        ni=ni,
+        ns=ns,
+        ek=ek,
+    )
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_PREC, preferred_element_type=a.dtype)
+
+
+@partial(jax.jit, static_argnames=("prob", "cfg", "mesh", "num_iters", "model"))
+def distributed_schur_lm(
+    poses0: Array,
+    free: FreeMask,
+    prob: DistSchurProblem,
+    cfg: SolverConfig,
+    mesh: Mesh,
+    num_iters: int,
+    model=None,
+):
+    """LM with the distributed Schur linear solver; returns
+    ``(poses, cost, cost0)``.  Mesh size must equal ``prob.num_blocks``."""
+    model = model or SE2Model
+    if cfg.robust == "sc":
+        raise NotImplementedError("SC uses the single-device dense path")
+    dtype = jnp.dtype(cfg.dtype)
+    poses0 = poses0.astype(dtype)
+    D = model.tangent_dim
+    ni, ns, ek = prob.ni, prob.ns, prob.ek
+
+    kw = dict(
+        model=model, robust=cfg.robust, dcs_phi=cfg.dcs_phi,
+        huber_delta=cfg.huber_delta, sc_prior_lambda=cfg.sc_prior_lambda,
+    )
+
+    edge_specs = EdgeSet(
+        ij=P(BLOCK_AXIS), meas=P(BLOCK_AXIS), is_loop=P(BLOCK_AXIS),
+        active=P(BLOCK_AXIS), info=P(BLOCK_AXIS),
+        inc_a=P(BLOCK_AXIS), inc_b=P(BLOCK_AXIS),
+    )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(), edge_specs,
+            P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS),
+            P(BLOCK_AXIS), P(BLOCK_AXIS), P(), P(),
+        ),
+        out_specs=(P(), P(), P()),
+    )
+    def run(poses, edges_s, iia, iib, isa, isb, isel, imask, ssel, free_node):
+        # Shards arrive with a leading axis of length 1; drop it.
+        local = jax.tree.map(lambda x: x[0], edges_s)
+        iia_, iib_ = iia[0], iib[0]
+        isa_, isb_ = isa[0], isb[0]
+        isel_ = isel[0]
+        imask_ = imask[0]
+        fmask = FreeMask(node=free_node)
+
+        def lm_step(carry, _):
+            poses, lam, nu, cost = carry
+            sw = jnp.ones((ek,), dtype)
+            sys_l = linearize(
+                poses, sw, local, fmask,
+                fixed_identity_scale=0.0, **kw,
+            )
+            cost_here = jax.lax.psum(sys_l.cost, BLOCK_AXIS)
+
+            wsqrt = jnp.sqrt(sys_l.w)
+            R = sys_l.Ja.shape[1]
+            wr = jnp.repeat(wsqrt, R)[:, None]
+
+            Jint = (
+                sys_l.Ja[:, :, :, None] * iia_[:, None, None, :]
+                + sys_l.Jb[:, :, :, None] * iib_[:, None, None, :]
+            ).reshape(ek * R, D * ni)
+            Jsep = (
+                sys_l.Ja[:, :, :, None] * isa_[:, None, None, :]
+                + sys_l.Jb[:, :, :, None] * isb_[:, None, None, :]
+            ).reshape(ek * R, D * ns)
+            Aint = Jint * wr
+            Asep = Jsep * wr
+            rw = (sys_l.r * wsqrt[:, None]).reshape(ek * R)
+
+            A = _mm(Aint.T, Aint)
+            F = _mm(Aint.T, Asep)
+            C_l = _mm(Asep.T, Asep)
+            b_i = -_mm(Aint.T, rw)
+            b_s_l = -_mm(Asep.T, rw)
+
+            # Damping diagonals from the (psum'd for separator) H diagonal.
+            dnode_l = jnp.diagonal(sys_l.Hdiag, axis1=-2, axis2=-1)  # (N,D)
+            dnode = jax.lax.psum(dnode_l, BLOCK_AXIS)
+            damp = lam * jnp.clip(dnode, 1e-6, 1e32)
+            pin = (dnode == 0.0).astype(dtype)
+            damp_int = _mm(isel_, damp).T.reshape(-1)
+            # Pin gauge/edgeless slots AND padded interior slots (all-zero
+            # int_sel rows) so the block Cholesky stays SPD.
+            pin_int = jnp.maximum(
+                _mm(isel_, pin).T.reshape(-1),
+                jnp.tile(1.0 - imask_, (D,)),
+            )
+            A = A + jnp.eye(D * ni, dtype=dtype) * (damp_int + pin_int)[None, :]
+
+            L = jax.scipy.linalg.cho_factor(A, lower=True)
+            Y = jax.scipy.linalg.cho_solve(L, F)
+            y = jax.scipy.linalg.cho_solve(L, b_i)
+
+            # Separator reduction over the ICI.
+            S = jax.lax.psum(C_l - _mm(F.T, Y), BLOCK_AXIS)
+            rhs = jax.lax.psum(b_s_l - F.T @ y, BLOCK_AXIS)
+            damp_sep = _mm(ssel, damp).T.reshape(-1)
+            pin_sep = _mm(ssel, pin).T.reshape(-1)
+            S = S + jnp.eye(D * ns, dtype=dtype) * (damp_sep + pin_sep)[None, :]
+
+            Ls = jax.scipy.linalg.cho_factor(S, lower=True)
+            x_sep = jax.scipy.linalg.cho_solve(Ls, rhs)
+            x_int = y - Y @ x_sep
+
+            dx_sep = _mm(ssel.T, x_sep.reshape(D, ns).T)
+            dx_int_l = _mm(isel_.T, x_int.reshape(D, ni).T)
+            dx = dx_sep + jax.lax.psum(dx_int_l, BLOCK_AXIS)
+
+            new_poses = model.retract(poses, dx)
+            new_cost = jax.lax.psum(
+                cost_only(new_poses, sw, local, **kw), BLOCK_AXIS
+            )
+            accept = new_cost < cost_here
+            poses = jnp.where(accept, new_poses, poses)
+            lam = jnp.where(
+                accept,
+                jnp.maximum(lam / 3.0, cfg.min_lambda),
+                jnp.minimum(lam * nu, cfg.max_lambda),
+            )
+            nu = jnp.where(accept, jnp.full_like(nu, 2.0), nu * 2.0)
+            cost = jnp.where(accept, new_cost, cost_here)
+            return (poses, lam, nu, cost), cost
+
+        sw0 = jnp.ones((ek,), dtype)
+        cost0 = jax.lax.psum(cost_only(poses, sw0, local, **kw), BLOCK_AXIS)
+        (poses, _, _, cost), _ = jax.lax.scan(
+            lm_step,
+            (poses, jnp.asarray(cfg.init_lambda, dtype),
+             jnp.asarray(2.0, dtype), cost0),
+            None, length=num_iters,
+        )
+        return poses, cost, cost0
+
+    return run(
+        poses0, prob.edges, prob.inc_int_a, prob.inc_int_b,
+        prob.inc_sep_a, prob.inc_sep_b, prob.int_sel, prob.int_mask,
+        prob.sep_sel, free.node,
+    )

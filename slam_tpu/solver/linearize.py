@@ -74,6 +74,8 @@ def linearize(
     huber_delta: float,
     sc_prior_lambda: float,
     fixed_identity_scale: float = 1.0,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ) -> BlockSystem:
     """Linearise the robust pose-graph objective at ``poses`` (+``switches``).
 
@@ -89,6 +91,15 @@ def linearize(
     dtype = poses.dtype
     pa = edges.gather_a(poses)
     pb = edges.gather_b(poses)
+
+    if use_pallas and robust in ("none", "dcs") and model.pose_dim == 3:
+        return _linearize_pallas(
+            poses, edges, free, pa, pb,
+            model=model, robust=robust, dcs_phi=dcs_phi,
+            huber_delta=huber_delta,
+            fixed_identity_scale=fixed_identity_scale,
+            interpret=pallas_interpret,
+        )
 
     e, Ja, Jb = model.residual_and_jacobians(pa, pb, edges.meas)
 
@@ -255,3 +266,42 @@ def edge_info_gain(edges: EdgeSet) -> Array:
     eye = jnp.eye(3, dtype=i.dtype)
     sign, logdet = jnp.linalg.slogdet(eye + O)
     return 0.5 * logdet
+
+
+def _linearize_pallas(
+    poses, edges, free, pa, pb, *, model, robust, dcs_phi, huber_delta,
+    fixed_identity_scale, interpret,
+):
+    """Fused-kernel linearisation path (see ``ops/pallas_linearize.py``).
+
+    Produces a :class:`BlockSystem` identical (tested) to the XLA path for
+    robust modes none/dcs; the per-edge chain runs as one Pallas kernel and
+    only the node reductions (incidence matmuls) remain outside.
+    """
+    from slam_tpu.ops.pallas_linearize import fused_linearize_se2
+
+    n = poses.shape[0]
+    dtype = poses.dtype
+    fa = edges.gather_a(free.node)
+    fb = edges.gather_b(free.node)
+    out = fused_linearize_se2(
+        pa, pb, edges.meas, fa, fb,
+        edges.is_loop.astype(dtype), edges.active,
+        dcs_phi, huber_delta, robust=robust, interpret=interpret,
+    )
+    Hdiag = edges.scatter_a(out["Haa"], n) + edges.scatter_b(out["Hbb"], n)
+    g = edges.scatter_a(out["ga"], n) + edges.scatter_b(out["gb"], n)
+    D = model.tangent_dim
+    fixed = (1.0 - free.node)[:, None, None] * jnp.eye(D, dtype=dtype)
+    Hdiag = Hdiag + fixed_identity_scale * fixed
+    cost = 0.5 * jnp.sum(out["rho"])
+    E = edges.num_edges
+    return BlockSystem(
+        Hdiag=Hdiag, Hoff=out["Hoff"], g=g, cost=cost,
+        Ja=out["Ja"], Jb=out["Jb"], r=out["e"], w=out["w"],
+        Js=jnp.zeros((E, model.residual_dim), dtype),
+        Hps_a=jnp.zeros((E, D), dtype),
+        Hps_b=jnp.zeros((E, D), dtype),
+        Hss=jnp.ones((E,), dtype),
+        gs=jnp.zeros((E,), dtype),
+    )

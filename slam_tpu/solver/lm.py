@@ -61,6 +61,19 @@ class LMResult(NamedTuple):
     lin_iters: Array
 
 
+def _pallas_flags(cfg: SolverConfig) -> dict:
+    """Resolve cfg.use_pallas ('auto'/'on'/'off') against the backend."""
+    import jax as _jax
+
+    mode = getattr(cfg, "use_pallas", "off")
+    if mode == "auto":
+        on = _jax.default_backend() == "tpu"
+        return {"use_pallas": on, "pallas_interpret": False}
+    if mode in ("on", "interpret"):
+        return {"use_pallas": True, "pallas_interpret": mode == "interpret"}
+    return {"use_pallas": False, "pallas_interpret": False}
+
+
 def _solve_linear(system, edges, lam, cfg: SolverConfig, partition=None):
     if cfg.linear_solver == "dense":
         dx = linear.dense_solve(
@@ -102,6 +115,7 @@ def lm_solve(
         huber_delta=cfg.huber_delta,
         sc_prior_lambda=cfg.sc_prior_lambda,
     )
+    lin_kw = dict(kw, **_pallas_flags(cfg))
 
     cost0 = cost_only(poses0, switches0, edges, **kw)
 
@@ -109,7 +123,7 @@ def lm_solve(
         return (s.it < cfg.max_iterations) & (~s.converged)
 
     def body(s: LMState) -> LMState:
-        system = linearize(s.poses, s.switches, edges, free, **kw)
+        system = linearize(s.poses, s.switches, edges, free, **lin_kw)
         dx, inner = _solve_linear(system, edges, s.lam, cfg, partition)
 
         new_poses = model.retract(s.poses, dx.poses)
@@ -195,10 +209,11 @@ def lm_fixed_iters(
         huber_delta=cfg.huber_delta,
         sc_prior_lambda=cfg.sc_prior_lambda,
     )
+    lin_kw = dict(kw, **_pallas_flags(cfg))
     cost0 = cost_only(poses0, switches0, edges, **kw)
 
     def step(s: LMState, _):
-        system = linearize(s.poses, s.switches, edges, free, **kw)
+        system = linearize(s.poses, s.switches, edges, free, **lin_kw)
         dx, inner = _solve_linear(system, edges, s.lam, cfg, partition)
         new_poses = model.retract(s.poses, dx.poses)
         new_switches = s.switches + dx.switches
