@@ -84,6 +84,8 @@ def config_from_args(args) -> RunConfig:
 
 
 def main(argv=None) -> int:
+    from slam_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
 
