@@ -47,6 +47,9 @@ class SolverConfig:
     linear_solver: str = "auto"
     pcg_max_iters: int = 250
     pcg_rtol: float = 1e-8
+    # "tridiag": odometry-chain block-tridiagonal preconditioner (cyclic
+    # reduction); "jacobi": block-diagonal.
+    pcg_preconditioner: str = "tridiag"
 
     # Numerics.  float32 is TPU-native; tests validate f32 vs f64 fixed points.
     dtype: str = "float32"

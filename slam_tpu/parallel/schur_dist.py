@@ -23,8 +23,8 @@ dense).
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -46,9 +46,9 @@ Array = jax.Array
 _PREC = jax.lax.Precision.HIGHEST
 
 
-@dataclasses.dataclass(frozen=True)
-class DistSchurProblem:
-    """Host-built, statically-shaped per-device problem data.
+class DistSchurProblem(NamedTuple):
+    """Host-built per-device problem data (a pytree: the one-hot operators
+    are large and must travel as buffers, not as jit-static constants).
 
     Leading axis P = number of blocks = mesh size.  ``edges`` carries each
     device's padded edge shard (with full-width (ek, N) incidence for pose
@@ -64,16 +64,22 @@ class DistSchurProblem:
     int_sel: Array          # (P, ni, N)
     int_mask: Array         # (P, ni) -- 1 for real interior slots
     sep_sel: Array          # (ns, N) -- replicated
-    num_blocks: int
-    ni: int
-    ns: int
-    ek: int
 
-    def __hash__(self):
-        return hash((self.num_blocks, self.ni, self.ns, self.ek))
+    @property
+    def num_blocks(self) -> int:
+        return self.int_sel.shape[0]
 
-    def __eq__(self, other):
-        return self is other
+    @property
+    def ni(self) -> int:
+        return self.int_sel.shape[1]
+
+    @property
+    def ns(self) -> int:
+        return self.sep_sel.shape[0]
+
+    @property
+    def ek(self) -> int:
+        return self.inc_int_a.shape[1]
 
 
 def build_dist_problem(
@@ -181,10 +187,6 @@ def build_dist_problem(
         int_sel=jnp.asarray(int_sel, dtype),
         int_mask=jnp.asarray(int_mask, dtype),
         sep_sel=jnp.asarray(sep_sel, dtype),
-        num_blocks=num_blocks,
-        ni=ni,
-        ns=ns,
-        ek=ek,
     )
 
 
@@ -192,7 +194,7 @@ def _mm(a, b):
     return jnp.matmul(a, b, precision=_PREC, preferred_element_type=a.dtype)
 
 
-@partial(jax.jit, static_argnames=("prob", "cfg", "mesh", "num_iters", "model"))
+@partial(jax.jit, static_argnames=("cfg", "mesh", "num_iters", "model"))
 def distributed_schur_lm(
     poses0: Array,
     free: FreeMask,

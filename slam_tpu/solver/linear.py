@@ -123,28 +123,45 @@ def _dot(x: Update, y: Update) -> Array:
     return jnp.sum(x.poses * y.poses) + jnp.sum(x.switches * y.switches)
 
 
-@partial(jax.jit, static_argnames=("max_iters",))
+@partial(jax.jit, static_argnames=("max_iters", "preconditioner"))
 def pcg_solve(
     system: BlockSystem,
     edges: EdgeSet,
     lam: Array,
     max_iters: int = 250,
     rtol: float = 1e-8,
+    preconditioner: str = "tridiag",
 ) -> tuple[Update, Array]:
-    """Block-Jacobi preconditioned CG on the damped normal equations.
+    """Preconditioned CG on the damped normal equations.
 
-    Returns ``(dx, iters_used)``.  Everything is a fixed-shape
-    ``lax.while_loop`` -- no host round-trips inside the solve.
+    ``preconditioner``: "tridiag" (block-tridiagonal odometry-chain solve
+    via cyclic reduction -- see ``solver/tridiag.py``; the default) or
+    "jacobi" (exactly-inverted node-diagonal blocks).  Returns
+    ``(dx, iters_used)``.  Everything is a fixed-shape ``lax.while_loop``
+    -- no host round-trips inside the solve.
     """
     Hd, Hss = _damped_diag(system, lam)
-    Minv = _inv_blocks(Hd)
     Msinv = 1.0 / Hss
 
-    def precond(r: Update) -> Update:
-        return Update(
-            poses=jnp.einsum("nij,nj->ni", Minv, r.poses),
-            switches=Msinv * r.switches,
-        )
+    if preconditioner == "tridiag":
+        from slam_tpu.solver import tridiag as _td
+
+        Dt, Ut = _td.extract_tridiag(system, edges, Hd)
+        factors = _td.build_cr_factors(Dt, Ut)
+
+        def precond(r: Update) -> Update:
+            return Update(
+                poses=_td.cr_solve(factors, r.poses),
+                switches=Msinv * r.switches,
+            )
+    else:
+        Minv = _inv_blocks(Hd)
+
+        def precond(r: Update) -> Update:
+            return Update(
+                poses=jnp.einsum("nij,nj->ni", Minv, r.poses),
+                switches=Msinv * r.switches,
+            )
 
     bvec = Update(poses=-system.g, switches=-system.gs)
     x0 = Update(

@@ -82,7 +82,9 @@ def _solve_linear(system, edges, lam, cfg: SolverConfig, partition=None):
         return dx, jnp.int32(0)
     elif cfg.linear_solver == "pcg":
         return linear.pcg_solve(
-            system, edges, lam, max_iters=cfg.pcg_max_iters, rtol=cfg.pcg_rtol
+            system, edges, lam, max_iters=cfg.pcg_max_iters,
+            rtol=cfg.pcg_rtol,
+            preconditioner=getattr(cfg, "pcg_preconditioner", "jacobi"),
         )
     elif cfg.linear_solver == "schur":
         from slam_tpu.solver import schur
@@ -92,7 +94,7 @@ def _solve_linear(system, edges, lam, cfg: SolverConfig, partition=None):
     raise ValueError(f"unknown linear solver {cfg.linear_solver!r}")
 
 
-@partial(jax.jit, static_argnames=("cfg", "model", "partition"))
+@partial(jax.jit, static_argnames=("cfg", "model"))
 def lm_solve(
     poses0: Array,
     switches0: Array,
@@ -184,7 +186,7 @@ def lm_solve(
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "num_iters", "model", "partition"))
+@partial(jax.jit, static_argnames=("cfg", "num_iters", "model"))
 def lm_fixed_iters(
     poses0: Array,
     switches0: Array,

@@ -25,8 +25,8 @@ anchor) is forced into the separator so gauge handling lives in one place.
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -40,35 +40,40 @@ Array = jax.Array
 _PREC = jax.lax.Precision.HIGHEST
 
 
-@dataclasses.dataclass(frozen=True)
-class SchurPartition:
-    """Static partition data built once per graph on the host.
+class SchurPartition(NamedTuple):
+    """Partition operators built once per graph on the host.
 
-    All selection/gather operators are 0/1 matrices so the device program is
-    pure matmuls.  Shapes (host-padded to static maxima):
+    A pytree of device arrays (NOT jit-static: at M10000 scale these one-hot
+    operators are hundreds of MB and must travel as buffers, not as program
+    constants).  All dimensions are recoverable from the shapes:
 
     * ``int_sel``:  (P, ni_max, N) -- block-k interior node selection
     * ``int_mask``: (P, ni_max)    -- 1 for real interior slots
     * ``sep_sel``:  (ns, N)        -- separator node selection
     * ``edge_sel``: (P, ek_max, E) -- block-k edge gather (edges with an
       interior endpoint in block k)
-    * ``num_blocks``, ``ni_max``, ``ns``, ``ek_max``: static ints
     """
 
     int_sel: Array
     int_mask: Array
     sep_sel: Array
     edge_sel: Array
-    num_blocks: int
-    ni_max: int
-    ns: int
-    ek_max: int
 
-    def __hash__(self):
-        return hash((self.num_blocks, self.ni_max, self.ns, self.ek_max))
+    @property
+    def num_blocks(self) -> int:
+        return self.int_sel.shape[0]
 
-    def __eq__(self, other):
-        return self is other
+    @property
+    def ni_max(self) -> int:
+        return self.int_sel.shape[1]
+
+    @property
+    def ns(self) -> int:
+        return self.sep_sel.shape[0]
+
+    @property
+    def ek_max(self) -> int:
+        return self.edge_sel.shape[1]
 
 
 def build_partition(
@@ -124,10 +129,6 @@ def build_partition(
         int_mask=jnp.asarray(int_mask, dtype),
         sep_sel=jnp.asarray(sep_sel, dtype),
         edge_sel=jnp.asarray(edge_sel, dtype),
-        num_blocks=num_blocks,
-        ni_max=ni_max,
-        ns=ns,
-        ek_max=ek_max,
     )
 
 
@@ -135,7 +136,7 @@ def _mm(a, b):
     return jnp.matmul(a, b, precision=_PREC, preferred_element_type=a.dtype)
 
 
-@partial(jax.jit, static_argnames=("part",))
+@jax.jit
 def schur_solve(
     system: BlockSystem,
     edges: EdgeSet,
