@@ -31,7 +31,14 @@ def main():
     np.save(os.path.join(outdir, "sphere2500_gt.npy"), gt)
 
     print("generating M10000 (Manhattan SE2)...")
-    graph, gt = synthetic.manhattan_se2(n=10000, max_closures=6000, seed=0)
+    # Rotational noise scaled down vs the small-graph default: over 10k
+    # integration steps 0.02 rad/step produces a useless initial guess
+    # (hundreds of meters of drift) that no robust method could recover --
+    # real M3500-class datasets start from moderately drifted but sane
+    # odometry.
+    graph, gt = synthetic.manhattan_se2(
+        n=10000, max_closures=6000, odo_noise=(0.03, 0.003), seed=0
+    )
     g2o.write_g2o(os.path.join(outdir, "M10000.g2o"), graph)
     np.save(os.path.join(outdir, "M10000_gt.npy"), gt)
 

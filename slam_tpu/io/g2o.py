@@ -6,10 +6,10 @@ reference accepts: ``VERTEX_SE2``/``EDGE_SE2`` and the older
 ``VERTEX2``/``EDGE2`` (CSAIL), plus ``VERTEX_SE3:QUAT``/``EDGE_SE3:QUAT`` for
 3D graphs (sphere2500 class), which the reference names but cannot parse.
 
-Fast path: the whole file is tokenised with NumPy in one pass per record kind
-instead of a Python per-line loop -- ingestion of M3500 (5.5k edges) is a few
-milliseconds.  An optional C++ accelerator (``native/g2o_io.cpp``) is used for
-very large files when built; behaviour is identical.
+Fast path: the C++ tokenizer (``native/g2o_io.cpp``, bound in
+``io/native.py``) is the default when built -- single pass, strtod in place,
+M3500 in ~10 ms.  The NumPy tokenizer here is the portable fallback with
+identical output (tested equal).
 
 Writers emit the exact ``save/*.txt`` formats of the reference so its plotting
 and evaluation sidecars work unchanged.
