@@ -18,8 +18,6 @@ import dataclasses
 import json
 import os
 
-import numpy as np
-
 from slam_tpu.config import RunConfig, SolverConfig
 from slam_tpu.eval import metrics
 from slam_tpu.graph import PoseGraph

@@ -13,7 +13,6 @@ equivalent) and cached at ``native/build/libg2o_io.so``.
 from __future__ import annotations
 
 import ctypes
-import os
 import pathlib
 import subprocess
 

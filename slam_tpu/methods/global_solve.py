@@ -21,13 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from slam_tpu.config import (
-    METHOD_BASELINE,
-    METHOD_DCS,
-    METHOD_SC,
-    RunConfig,
-    solver_config_for_method,
-)
+from slam_tpu.config import METHOD_SC, RunConfig, solver_config_for_method
 from slam_tpu.graph import PoseGraph
 from slam_tpu.io import g2o
 from slam_tpu.solver.lm import LMResult, lm_solve
@@ -145,7 +139,8 @@ def run_from_config(cfg: RunConfig) -> GlobalSolveOutput:
     g2o.write_edges(os.path.join(cfg.save_path, "opt_edges.txt"), graph)
     if cfg.method == METHOD_SC:
         loop_mask = graph.canonical_order().edge_type != 0
-        sw = out.switches[loop_mask]
+        # out.switches covers the bucket-padded edge array; real edges first.
+        sw = out.switches[: loop_mask.shape[0]][loop_mask]
         g2o.write_switches(
             os.path.join(cfg.save_path, "switches.txt"),
             graph,

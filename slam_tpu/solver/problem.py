@@ -21,7 +21,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-from slam_tpu.graph import CLOSURE_EDGE, ODOMETRY_EDGE, PoseGraph
+from slam_tpu.graph import ODOMETRY_EDGE, PoseGraph
 
 
 class EdgeSet(NamedTuple):

@@ -25,7 +25,6 @@ anchor) is forced into the separator so gauge handling lives in one place.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
