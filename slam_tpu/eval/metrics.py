@@ -51,8 +51,11 @@ def ate(poses: np.ndarray, ref: np.ndarray, align: bool = True) -> float:
 
 
 def rpe(poses: np.ndarray, ref: np.ndarray, delta: int = 1) -> float:
-    """RMSE of relative translational error over index-delta pairs --
-    alignment-free by construction."""
+    """RMSE of relative displacement error over index-delta pairs.
+
+    Invariant to global translation (not rotation: displacements are
+    compared in the world frame -- a simple drift measure, intentionally
+    cheaper than the full frame-local RPE)."""
     k = 2 if poses.shape[1] <= 3 else 3
     p = np.asarray(poses, float)[:, :k]
     q = np.asarray(ref, float)[:, :k]

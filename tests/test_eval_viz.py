@@ -9,15 +9,14 @@ from slam_tpu.io import g2o
 from slam_tpu.viz import plot
 
 
-def test_rpe_alignment_free():
+def test_rpe_translation_invariant():
     rng = np.random.default_rng(0)
     p = rng.normal(size=(40, 3))
-    # A rigid transform leaves RPE unchanged.
-    th, t = 0.9, np.array([5.0, -2.0])
-    c, s = np.cos(th), np.sin(th)
     q = p.copy()
-    q[:, :2] = p[:, :2] @ np.array([[c, s], [-s, c]]) + t
-    assert metrics.rpe(q, p) < 1e-10 + metrics.rpe(p, p)
+    q[:, :2] += np.array([5.0, -2.0])  # global translation: RPE unchanged
+    assert metrics.rpe(q, p) < 1e-12
+    q2 = p + rng.normal(scale=0.1, size=p.shape)
+    assert metrics.rpe(q2, p) > 0.01
 
 
 def test_collapse_score_detects_implosion():
