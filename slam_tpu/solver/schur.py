@@ -76,9 +76,18 @@ class SchurPartition(NamedTuple):
 
 
 def build_partition(
-    ij: np.ndarray, n: int, num_blocks: int, dtype=jnp.float32
+    ij: np.ndarray,
+    n: int,
+    num_blocks: int,
+    dtype=jnp.float32,
+    pad_shapes: tuple[int, int, int] | None = None,
 ) -> SchurPartition:
-    """Contiguous index-range partition with cross-edge separator."""
+    """Contiguous index-range partition with cross-edge separator.
+
+    ``pad_shapes=(ni_max, ns, ek_max)`` pads the operators to given maxima
+    so partitions of *different* graphs (e.g. per-outlier-seed) share one
+    compiled program and can be vmapped/stacked together.
+    """
     ij = np.asarray(ij)
     E = ij.shape[0]
     block_size = -(-n // num_blocks)
@@ -110,13 +119,23 @@ def build_partition(
     block_edges = [np.where(owner == k)[0] for k in range(num_blocks)]
     ek_max = max(1, max(len(x) for x in block_edges))
 
+    if pad_shapes is not None:
+        tni, tns, tek = pad_shapes
+        assert tni >= ni_max and tns >= ns and tek >= ek_max, (
+            "pad_shapes smaller than this partition's natural sizes"
+        )
+        ni_max, ek_max = tni, tek
+        ns_pad = tns
+    else:
+        ns_pad = ns
+
     int_sel = np.zeros((num_blocks, ni_max, n), np.float32)
     int_mask = np.zeros((num_blocks, ni_max), np.float32)
     for k, ids in enumerate(interior_ids):
         int_sel[k, np.arange(len(ids)), ids] = 1.0
         int_mask[k, : len(ids)] = 1.0
 
-    sep_sel = np.zeros((ns, n), np.float32)
+    sep_sel = np.zeros((ns_pad, n), np.float32)
     sep_sel[np.arange(ns), sep_ids] = 1.0
 
     edge_sel = np.zeros((num_blocks, ek_max, E), np.float32)
@@ -173,7 +192,13 @@ def schur_solve(
     Asep = Jsep * Wr
     C = _mm(Asep.T, Asep)  # (D*ns, D*ns)
     damp_sep = _mm(part.sep_sel, damp).T.reshape(-1)   # (D*ns,) coord-major
-    pin_sep = _mm(part.sep_sel, pin).T.reshape(-1)
+    # Pin gauge-fixed slots AND padded separator slots (all-zero sel rows,
+    # present when partitions are padded to shared shapes).
+    sep_live = jnp.sum(part.sep_sel, axis=1)           # (ns,)
+    pin_sep = jnp.maximum(
+        _mm(part.sep_sel, pin).T.reshape(-1),
+        jnp.tile(1.0 - sep_live, (D,)),
+    )
     C = C + jnp.eye(D * ns, dtype=dtype) * (damp_sep + pin_sep)[None, :]
 
     rflat = (system.r * wsqrt[:, None]).reshape(E * R)
