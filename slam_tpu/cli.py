@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", default=None, choices=[None, "float32", "float64"],
                    help="default: float32 on TPU, float64 on CPU")
     p.add_argument("--plot", action="store_true", help="write trajectory PNG")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the solve into DIR "
+                        "(TensorBoard-loadable)")
     p.add_argument("--eval-against", default=None,
                    help="nodes file to compute ATE against (e.g. a reference opt_nodes.txt)")
     return p
@@ -112,15 +115,24 @@ def main(argv=None) -> int:
         logger.close()
         return 0
 
-    if cfg.method in (0, 1, 2):
-        from slam_tpu.methods.global_solve import run_from_config
-        out = run_from_config(cfg)
-    elif cfg.method == 3:
-        from slam_tpu.methods.layering import run_from_config as run3
-        out = run3(cfg)
+    import contextlib
+
+    if args.profile:
+        from slam_tpu.utils.profiling import trace
+        profile_cm = trace(args.profile)
     else:
-        from slam_tpu.methods.mcts import run_from_config as run4
-        out = run4(cfg)
+        profile_cm = contextlib.nullcontext()
+
+    with profile_cm:
+        if cfg.method in (0, 1, 2):
+            from slam_tpu.methods.global_solve import run_from_config
+            out = run_from_config(cfg)
+        elif cfg.method == 3:
+            from slam_tpu.methods.layering import run_from_config as run3
+            out = run3(cfg)
+        else:
+            from slam_tpu.methods.mcts import run_from_config as run4
+            out = run4(cfg)
 
     if args.eval_against:
         from slam_tpu.eval import metrics
