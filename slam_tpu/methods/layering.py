@@ -102,10 +102,17 @@ class LayeringManager:
         # Huber only -- ``layer_manager.cpp:114-122``).
         linear = solver.linear_solver
         if linear in ("auto", "schur"):
-            # The masked sub-problems keep full static shape; dense is right
-            # for small graphs, PCG beyond (schur partitions don't apply to
-            # the shifting window structure).
-            linear = "dense" if self.graph.num_nodes <= 2048 else "pcg"
+            # The masked sub-problems keep full static shape.  On TPU the
+            # batched short solves use tridiag-preconditioned PCG: the
+            # vmapped dense Cholesky programs compile pathologically slowly
+            # on the remote toolchain, and the reference's own inner solves
+            # are 1-2 *inexact* Ceres iterations anyway.  On CPU (tests),
+            # dense keeps small-graph evaluations exact.
+            import jax as _jax
+            if _jax.default_backend() != "cpu":
+                linear = "pcg"
+            else:
+                linear = "dense" if self.graph.num_nodes <= 2048 else "pcg"
         self.eval_cfg = solver.replace(
             robust="none", huber_delta=cfg.huber_delta, linear_solver=linear
         )
@@ -148,21 +155,33 @@ class LayeringManager:
         return idx[: self.cfg.uct_top_k]
 
     # -- batched cost evaluation ------------------------------------------
+    #: Fixed device-batch width for candidate evaluations.  Kept small: on
+    #: the axon remote-compile toolchain, vmapped solver programs compile in
+    #: time superlinear in batch width (B=10 ran >40 min; B<=4 compiles in
+    #: minutes), and one cached program is reused for every chunk.
+    EVAL_CHUNK = 4
+
     def _eval_costs(self, specs) -> np.ndarray:
-        """specs: list of (poses(N,3), active(E,) bool).  One device call,
-        padded to a fixed batch width to avoid recompilation."""
-        B = 1 + 2 * self.cfg.uct_top_k + self.cfg.uct_top_k  # fixed width
-        pb = np.stack([s[0] for s in specs] + [specs[0][0]] * (B - len(specs)))
-        ab = np.stack([s[1] for s in specs] + [specs[0][1]] * (B - len(specs)))
-        costs = batched.batched_eval_cost(
-            jnp.asarray(pb, self.dtype),
-            jnp.asarray(ab.astype(np.float64), self.dtype),
-            self.edges,
-            _free_first(self.graph.num_nodes, self.dtype),
-            self.eval_cfg,
-            max(1, self.cfg.local_iters),
-        )
-        return np.asarray(jax.device_get(costs))[: len(specs)]
+        """specs: list of (poses(N,3), active(E,) bool).  Evaluated in
+        fixed-width padded chunks -- one compiled program total."""
+        specs = list(specs)
+        out = []
+        C = self.EVAL_CHUNK
+        for i in range(0, len(specs), C):
+            chunk = specs[i : i + C]
+            pad = C - len(chunk)
+            pb = np.stack([s[0] for s in chunk] + [chunk[0][0]] * pad)
+            ab = np.stack([s[1] for s in chunk] + [chunk[0][1]] * pad)
+            costs = batched.batched_eval_cost(
+                jnp.asarray(pb, self.dtype),
+                jnp.asarray(ab.astype(np.float64), self.dtype),
+                self.edges,
+                _free_first(self.graph.num_nodes, self.dtype),
+                self.eval_cfg,
+                max(1, self.cfg.local_iters),
+            )
+            out.append(np.asarray(jax.device_get(costs))[: len(chunk)])
+        return np.concatenate(out)
 
     def _get_Li(self, k: int) -> float | None:
         return self.Li_cache.get(k)

@@ -71,7 +71,13 @@ class MctsManager:
         solver = solver or SolverConfig()
         linear = solver.linear_solver
         if linear in ("auto", "schur"):
-            linear = "dense" if graph.num_nodes <= 2048 else "pcg"
+            # See layering.py: PCG on TPU (vmapped dense Cholesky compiles
+            # pathologically slowly there), dense on CPU for small graphs.
+            import jax as _jax
+            if _jax.default_backend() != "cpu":
+                linear = "pcg"
+            else:
+                linear = "dense" if graph.num_nodes <= 2048 else "pcg"
         self.eval_cfg = solver.replace(
             robust="none", huber_delta=cfg.huber_delta, linear_solver=linear
         )
