@@ -45,33 +45,45 @@ class EdgeSet(NamedTuple):
     def num_edges(self) -> int:
         return self.ij.shape[0]
 
-    def gather_a(self, x: jnp.ndarray) -> jnp.ndarray:
-        """``x[a]`` -- incidence matmul when available, gather otherwise."""
+    def _gather(self, x: jnp.ndarray, inc, col: int) -> jnp.ndarray:
+        import jax
         from slam_tpu.ops import indexing
-        if self.inc_a is not None:
-            return indexing.gather(self.inc_a, x)
-        return x[self.ij[:, 0]]
+        if inc is not None:
+            return indexing.gather(inc, x)
+        if jax.default_backend() != "cpu":
+            # Sparse tier: direct indexed access in a Pallas kernel (XLA
+            # gather costs 60-80 s of compile each on this toolchain).
+            from slam_tpu.ops import pallas_gather
+            flat = x.reshape(x.shape[0], -1)
+            out = pallas_gather.gather_rows(flat, self.ij[:, col])
+            return out.reshape((self.num_edges,) + x.shape[1:])
+        return x[self.ij[:, col]]
+
+    def _scatter(self, v: jnp.ndarray, n: int, inc, col: int) -> jnp.ndarray:
+        import jax
+        from slam_tpu.ops import indexing
+        if inc is not None:
+            return indexing.scatter_add(inc, v)
+        if jax.default_backend() != "cpu":
+            from slam_tpu.ops import pallas_gather
+            flat = v.reshape(v.shape[0], -1)
+            out = pallas_gather.scatter_add_rows(flat, self.ij[:, col], n)
+            return out.reshape((n,) + v.shape[1:])
+        return jax.ops.segment_sum(v, self.ij[:, col], num_segments=n)
+
+    def gather_a(self, x: jnp.ndarray) -> jnp.ndarray:
+        """``x[a]`` -- incidence matmul / Pallas index kernel / XLA gather."""
+        return self._gather(x, self.inc_a, 0)
 
     def gather_b(self, x: jnp.ndarray) -> jnp.ndarray:
-        from slam_tpu.ops import indexing
-        if self.inc_b is not None:
-            return indexing.gather(self.inc_b, x)
-        return x[self.ij[:, 1]]
+        return self._gather(x, self.inc_b, 1)
 
     def scatter_a(self, v: jnp.ndarray, n: int) -> jnp.ndarray:
-        """``segment_sum(v, a, n)`` via incidence matmul when available."""
-        import jax
-        from slam_tpu.ops import indexing
-        if self.inc_a is not None:
-            return indexing.scatter_add(self.inc_a, v)
-        return jax.ops.segment_sum(v, self.ij[:, 0], num_segments=n)
+        """``segment_sum(v, a, n)`` via the same tier selection."""
+        return self._scatter(v, n, self.inc_a, 0)
 
     def scatter_b(self, v: jnp.ndarray, n: int) -> jnp.ndarray:
-        import jax
-        from slam_tpu.ops import indexing
-        if self.inc_b is not None:
-            return indexing.scatter_add(self.inc_b, v)
-        return jax.ops.segment_sum(v, self.ij[:, 1], num_segments=n)
+        return self._scatter(v, n, self.inc_b, 1)
 
 
 class FreeMask(NamedTuple):
@@ -92,8 +104,10 @@ def edge_set_from_graph(
 ) -> EdgeSet:
     """Build an :class:`EdgeSet` (canonical edge order) from a host graph.
 
-    ``incidence=None`` auto-selects: one-hot incidence matmuls on TPU-class
-    backends (where XLA gather/scatter is slow), index ops on CPU.
+    ``incidence=None`` auto-selects by backend and size: one-hot incidence
+    matmuls on TPU up to ~4k nodes (MXU-friendly, fully parallel), the
+    Pallas index kernels beyond (the (E, N) one-hots grow quadratically),
+    and native index ops on CPU.
     """
     import jax
 
@@ -118,7 +132,9 @@ def edge_set_from_graph(
     )
 
     if incidence is None:
-        incidence = jax.default_backend() != "cpu"
+        incidence = (
+            jax.default_backend() != "cpu" and g.num_nodes <= 4096
+        )
     inc_a = inc_b = None
     if incidence:
         from slam_tpu.ops import indexing
