@@ -46,17 +46,9 @@ class EdgeSet(NamedTuple):
         return self.ij.shape[0]
 
     def _gather(self, x: jnp.ndarray, inc, col: int) -> jnp.ndarray:
-        import jax
         from slam_tpu.ops import indexing
         if inc is not None:
             return indexing.gather(inc, x)
-        if jax.default_backend() != "cpu":
-            # Sparse tier: direct indexed access in a Pallas kernel (XLA
-            # gather costs 60-80 s of compile each on this toolchain).
-            from slam_tpu.ops import pallas_gather
-            flat = x.reshape(x.shape[0], -1)
-            out = pallas_gather.gather_rows(flat, self.ij[:, col])
-            return out.reshape((self.num_edges,) + x.shape[1:])
         return x[self.ij[:, col]]
 
     def _scatter(self, v: jnp.ndarray, n: int, inc, col: int) -> jnp.ndarray:
@@ -64,11 +56,6 @@ class EdgeSet(NamedTuple):
         from slam_tpu.ops import indexing
         if inc is not None:
             return indexing.scatter_add(inc, v)
-        if jax.default_backend() != "cpu":
-            from slam_tpu.ops import pallas_gather
-            flat = v.reshape(v.shape[0], -1)
-            out = pallas_gather.scatter_add_rows(flat, self.ij[:, col], n)
-            return out.reshape((n,) + v.shape[1:])
         return jax.ops.segment_sum(v, self.ij[:, col], num_segments=n)
 
     def gather_a(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -104,10 +91,10 @@ def edge_set_from_graph(
 ) -> EdgeSet:
     """Build an :class:`EdgeSet` (canonical edge order) from a host graph.
 
-    ``incidence=None`` auto-selects by backend and size: one-hot incidence
-    matmuls on TPU up to ~4k nodes (MXU-friendly, fully parallel), the
-    Pallas index kernels beyond (the (E, N) one-hots grow quadratically),
-    and native index ops on CPU.
+    ``incidence=None`` auto-selects by backend: one-hot incidence matmuls
+    on TPU (host-built f32 below ~4k nodes; device-built bfloat16 beyond,
+    which never ships the (E, N) operators through the host tunnel), native
+    index ops on CPU.
     """
     import jax
 
@@ -132,15 +119,17 @@ def edge_set_from_graph(
     )
 
     if incidence is None:
-        incidence = (
-            jax.default_backend() != "cpu" and g.num_nodes <= 4096
-        )
+        incidence = jax.default_backend() != "cpu"
     inc_a = inc_b = None
     if incidence:
         from slam_tpu.ops import indexing
         n = g.num_nodes
-        inc_a = indexing.build_incidence(ij[:, 0], n, dtype)
-        inc_b = indexing.build_incidence(ij[:, 1], n, dtype)
+        if n <= 4096:
+            inc_a = indexing.build_incidence(ij[:, 0], n, dtype)
+            inc_b = indexing.build_incidence(ij[:, 1], n, dtype)
+        else:
+            inc_a = indexing.build_incidence_device(ij[:, 0], n)
+            inc_b = indexing.build_incidence_device(ij[:, 1], n)
 
     return EdgeSet(
         ij=jnp.asarray(ij, jnp.int32),

@@ -36,48 +36,43 @@ def test_incidence_is_exact_binary(rng):
     np.testing.assert_array_equal(inc.argmax(axis=1), idx)
 
 
-def test_pallas_gather_tier_matches_index_tier(monkeypatch, rng):
-    """Full linearize through the Pallas index-kernel tier (interpret mode)
-    == the native index tier."""
-    import functools
-
-    import jax
+def test_pallas_index_kernels_interpret(rng):
+    """The Pallas index kernels (future sparse tier; per-element loops
+    compile pathologically on the current axon toolchain, so they are not
+    auto-selected) stay exact in interpret mode on realistic shapes."""
     import jax.numpy as jnp
 
-    from slam_tpu.io import synthetic
     from slam_tpu.ops import pallas_gather
-    from slam_tpu.solver.linearize import linearize
-    from slam_tpu.solver.models import SE2Model
-    from slam_tpu.solver.problem import (
-        anchor_first_node,
-        edge_set_from_graph,
-    )
 
-    graph, _ = synthetic.circle_se2(n=48, seed=4)
-    graph = graph.add_random_outliers(5, seed=5)
-    edges = edge_set_from_graph(graph, dtype=jnp.float64, incidence=False)
-    free = anchor_first_node(graph.num_nodes, dtype=jnp.float64)
-    poses0 = jnp.asarray(graph.poses)
-    sw0 = jnp.ones((edges.num_edges,), jnp.float64)
-    kw = dict(model=SE2Model, robust="dcs", dcs_phi=0.5, huber_delta=0.01,
-              sc_prior_lambda=1.0)
-    ref = linearize(poses0, sw0, edges, free, **kw)
+    N, E, K = 513, 2000, 9
+    x = jnp.asarray(rng.normal(size=(N, K)))
+    idx = jnp.asarray(rng.integers(0, N, size=E), jnp.int32)
+    g = pallas_gather.gather_rows(x, idx, interpret=True)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(x)[np.asarray(idx)],
+                               atol=0)
+    v = jnp.asarray(rng.normal(size=(E, K)))
+    s = pallas_gather.scatter_add_rows(v, idx, N, interpret=True)
+    ref = jax.ops.segment_sum(v, idx, num_segments=N)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(ref), atol=1e-12)
 
-    # Route the "non-CPU" tier selection to the interpreted kernels.
-    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    monkeypatch.setattr(
-        pallas_gather, "gather_rows",
-        functools.partial(pallas_gather.gather_rows.__wrapped__,
-                          interpret=True),
+
+def test_bf16_device_incidence_exact(rng):
+    """Device-built bfloat16 one-hots give exact gathers/scatters (0/1 is
+    exactly representable; consuming matmuls accumulate in f32+)."""
+    import jax.numpy as jnp
+
+    from slam_tpu.ops import indexing
+
+    n, e = 5000, 800  # n > 4096: the device/bf16 tier
+    idx = rng.integers(0, n, size=e)
+    inc = indexing.build_incidence_device(idx, n)
+    assert inc.dtype == jnp.bfloat16
+    x = jnp.asarray(rng.normal(size=(n, 4)))
+    np.testing.assert_allclose(
+        np.asarray(indexing.gather(inc, x)), np.asarray(x)[idx], atol=0
     )
-    monkeypatch.setattr(
-        pallas_gather, "scatter_add_rows",
-        functools.partial(pallas_gather.scatter_add_rows.__wrapped__,
-                          interpret=True),
+    v = jnp.asarray(rng.normal(size=(e, 4)))
+    ref = jax.ops.segment_sum(v, jnp.asarray(idx), num_segments=n)
+    np.testing.assert_allclose(
+        np.asarray(indexing.scatter_add(inc, v)), np.asarray(ref), atol=1e-12
     )
-    out = linearize(poses0, sw0, edges, free, **kw)
-    for name in ("Hdiag", "Hoff", "g", "cost"):
-        np.testing.assert_allclose(
-            np.asarray(getattr(out, name)), np.asarray(getattr(ref, name)),
-            atol=1e-12, err_msg=name,
-        )
