@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the solve into DIR "
                         "(TensorBoard-loadable)")
+    p.add_argument("--checkpoint", default=None, metavar="FILE",
+                   help="run methods 0-2 in resumable chunks, persisting "
+                        "solver state to FILE (utils/checkpoint.py); "
+                        "re-running with the same FILE resumes")
     p.add_argument("--eval-against", default=None,
                    help="nodes file to compute ATE against (e.g. a reference opt_nodes.txt)")
     return p
@@ -124,7 +128,9 @@ def main(argv=None) -> int:
         profile_cm = contextlib.nullcontext()
 
     with profile_cm:
-        if cfg.method in (0, 1, 2):
+        if cfg.method in (0, 1, 2) and args.checkpoint:
+            out = _run_checkpointed(cfg, args.checkpoint)
+        elif cfg.method in (0, 1, 2):
             from slam_tpu.methods.global_solve import run_from_config
             out = run_from_config(cfg)
         elif cfg.method == 3:
@@ -150,6 +156,69 @@ def main(argv=None) -> int:
             os.path.join(cfg.save_path, "trajectory.png"),
         )
     return 0
+
+
+def _run_checkpointed(cfg, ckpt_path):
+    """Methods 0-2 with chunked checkpoint/resume (utils/checkpoint.py)."""
+    import os
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from slam_tpu.config import solver_config_for_method
+    from slam_tpu.io import g2o as g2o_io
+    from slam_tpu.methods.global_solve import (
+        GlobalSolveOutput,
+        pick_linear_solver,
+    )
+    from slam_tpu.solver.problem import anchor_first_node, edge_set_from_graph
+    from slam_tpu.utils.checkpoint import CheckpointingSolver
+    from slam_tpu.utils.logging import RunLogger
+
+    os.makedirs(cfg.save_path, exist_ok=True)
+    logger = RunLogger(os.path.join(cfg.save_path, f"method{cfg.method}.log"))
+    graph = g2o_io.load_g2o(g2o_io.find_dataset(cfg.dataset))
+    graph = graph.add_random_outliers(cfg.num_outliers, seed=cfg.seed)
+    g2o_io.write_nodes(os.path.join(cfg.save_path, "init_nodes.txt"),
+                       graph.poses)
+    g2o_io.write_edges(os.path.join(cfg.save_path, "init_edges.txt"), graph)
+
+    scfg = solver_config_for_method(cfg.method, cfg.solver)
+    if scfg.linear_solver in ("auto", "schur"):
+        # The chunked driver re-enters lm_fixed_iters; keep the solver
+        # partition-free for simplicity.
+        scfg = scfg.replace(
+            linear_solver="dense" if graph.num_nodes <= 2048 else "pcg"
+        )
+    dtype = jnp.dtype(scfg.dtype)
+    canon = graph.canonical_order()
+    edges = edge_set_from_graph(canon, dtype=dtype)
+    free = anchor_first_node(canon.num_nodes, dtype=dtype)
+    poses0 = jnp.asarray(canon.poses, dtype)
+    sw0 = jnp.ones((edges.num_edges,), dtype)
+
+    solver = CheckpointingSolver(ckpt_path, chunk_iters=10)
+    poses, switches, res = solver.run(
+        poses0, sw0, edges, free, scfg,
+        total_iters=scfg.max_iterations,
+    )
+    if res is not None:
+        final_cost = float(res.cost)
+    else:  # resumed at completion: read the recorded cost
+        from slam_tpu.utils.checkpoint import load_checkpoint
+        state, _ = load_checkpoint(ckpt_path)
+        final_cost = float(state["cost"])
+    logger.log("solve", method=cfg.method, robust=scfg.robust,
+               checkpointed=True, final_cost=final_cost,
+               iterations=scfg.max_iterations)
+    g2o_io.write_nodes(os.path.join(cfg.save_path, "opt_nodes.txt"),
+                       np.asarray(poses))
+    g2o_io.write_edges(os.path.join(cfg.save_path, "opt_edges.txt"), graph)
+    logger.close()
+    return GlobalSolveOutput(
+        graph=graph, poses=np.asarray(poses),
+        switches=np.asarray(switches), result=res, wall_time_s=0.0,
+    )
 
 
 if __name__ == "__main__":

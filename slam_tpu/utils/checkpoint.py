@@ -83,7 +83,7 @@ class CheckpointingSolver:
                 start = int(state["iteration"])
 
         it = start
-        res = None
+        res = None  # None when resuming at completion (no chunks to run)
         while it < total_iters:
             n = min(self.chunk_iters, total_iters - it)
             res = lm_fixed_iters(poses, switches, edges, free, cfg, n,
