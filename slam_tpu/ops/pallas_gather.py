@@ -1,9 +1,16 @@
 """Pallas index gather/scatter -- the sparse tier beyond one-hot matmuls.
 
+STATUS: interpret-tested and kept as the designed next tier, but NOT
+auto-selected -- on the current axon remote-compile toolchain, per-element
+scalar loops compile pathologically (a single 1024-iteration loop exceeded
+8 minutes), so the production large-graph tier is instead device-built
+bfloat16 one-hots (``ops/indexing.py::build_incidence_device``).  On a
+standard libtpu toolchain these kernels are the better asymptotic answer.
+
 The one-hot incidence tier (``ops/indexing.py``) is ideal up to mid-size
 graphs, but its ``(E, N)`` operators grow quadratically: at M10000 scale
-they are ~0.5 GB each and dominate transfer and bandwidth.  These kernels
-replace them with *direct indexed access*:
+they are ~0.5 GB each and dominate bandwidth.  These kernels replace them
+with *direct indexed access*:
 
 * the node array (``(N, K)`` -- at most a few MB even at 100k nodes) lives
   entirely in VMEM;
