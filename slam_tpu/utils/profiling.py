@@ -6,7 +6,9 @@ The reference's only timing artifact is Ceres' ``FullReport()``
 * :class:`Timer` -- wall-clock section timing with device synchronisation
   (``block_until_ready``) so TPU async dispatch doesn't lie.
 * :func:`trace` -- context manager around ``jax.profiler`` emitting a
-  TensorBoard-loadable trace directory for kernel-level analysis.
+  TensorBoard-loadable trace directory for kernel-level analysis.  (On the
+  axon remote backend, tracing adds large per-op overhead -- use the traces
+  for structure/attribution, the synced timers for wall numbers.)
 * :func:`iteration_rate` -- the north-star metric helper: timed steady-state
   LM iterations/s for a solve closure.
 """
