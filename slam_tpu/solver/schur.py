@@ -36,7 +36,12 @@ from slam_tpu.solver.linearize import BlockSystem
 from slam_tpu.solver.problem import EdgeSet
 
 Array = jax.Array
-_PREC = jax.lax.Precision.HIGHEST
+# HIGH (bf16_3x) rather than HIGHEST (bf16_6x): the Schur pipeline's
+# matmuls build damped normal-equation blocks whose Cholesky tolerates
+# ~f32-level accuracy; 3-pass halves the MXU cost of the dominant
+# assembly matmuls.  Quality is pinned by tests (exactness vs dense at f64,
+# where HIGH == exact) and the bench cost gate at f32.
+_PREC = jax.lax.Precision.HIGH
 
 
 class SchurPartition(NamedTuple):
