@@ -36,12 +36,11 @@ from slam_tpu.solver.linearize import BlockSystem
 from slam_tpu.solver.problem import EdgeSet
 
 Array = jax.Array
-# HIGH (bf16_3x) rather than HIGHEST (bf16_6x): the Schur pipeline's
-# matmuls build damped normal-equation blocks whose Cholesky tolerates
-# ~f32-level accuracy; 3-pass halves the MXU cost of the dominant
-# assembly matmuls.  Quality is pinned by tests (exactness vs dense at f64,
-# where HIGH == exact) and the bench cost gate at f32.
-_PREC = jax.lax.Precision.HIGH
+# HIGHEST (bf16_6x) is load-bearing: a Precision.HIGH experiment ran ~16%
+# faster but degraded per-iteration quality measurably (INTEL+50 seed42,
+# 50 iters: cost 1.75 vs 1.52) -- faster-but-worse iterations are not a win
+# for a quality-gated iterations/s metric.
+_PREC = jax.lax.Precision.HIGHEST
 
 
 class SchurPartition(NamedTuple):
