@@ -1,0 +1,43 @@
+#!/bin/bash
+# Reproduces every table in results/ on the current hardware.
+# Runtimes assume a warm XLA compilation cache (~/.cache/slam_tpu_xla);
+# first-ever runs add minutes of compile per new program shape.
+set -e
+cd "$(dirname "$0")/.."
+
+echo "== datasets (generates sphere2500 + M10000 into data/)"
+python scripts/generate_datasets.py
+
+echo "== headline bench (results/README.md throughput table)"
+python bench.py
+
+echo "== INTEL robustness grid (results/intel_sweep_r1.md)"
+python -m slam_tpu.cli INTEL 100 1 --sweep --save-path save/intel_sweep
+
+echo "== multi-dataset sweeps (results/sweeps/)"
+for ds in CSAIL MIT FR079 FRH M3500; do
+  python - <<PY
+from slam_tpu.utils.cache import enable_persistent_cache
+enable_persistent_cache()
+from slam_tpu.eval import harness
+from slam_tpu.config import SolverConfig
+from slam_tpu.utils.logging import RunLogger
+harness.run_sweep("$ds", methods=[0,1], outlier_counts=[0,50], seeds=[0],
+                  solver=SolverConfig(dtype="float32"),
+                  save_path="save/sweeps/$ds", logger=RunLogger(echo=False))
+PY
+done
+
+echo "== methods 3/4 on INTEL+50"
+python -m slam_tpu.cli INTEL 50 3 --save-path save/m3 --seed 42
+python -m slam_tpu.cli INTEL 50 4 --save-path save/m4 --seed 42
+
+echo "== golden trajectories (CPU f64; used by tests/test_golden.py)"
+JAX_PLATFORMS=cpu python - <<'PY'
+import jax
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_enable_x64', True)
+# see results/golden/meta.json for the recorded costs
+print("golden regeneration: see session scripts; committed goldens are canonical")
+PY
+echo "done; outputs under save/"
