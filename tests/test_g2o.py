@@ -123,3 +123,43 @@ def test_switches_writer(tmp_path, circle):
     assert "Closure EDGES AHEAD" in text
     assert "BOGUS EDGES AHEAD" in text
     assert len(text) == 3 + g.num_edges
+
+
+def test_whitespace_tolerant_parsing(tmp_path):
+    """The reference tokenises with boost token_compress_on
+    (``g2o_util.h:36``): runs of spaces collapse.  Both our parsers must
+    accept double-spaced and tab-ish formatting."""
+    path = tmp_path / "ws.g2o"
+    path.write_text(
+        "VERTEX_SE2 0  0.0 0.0  0.0\n"
+        "VERTEX_SE2  1 1.0  0.0 0.1\n"
+        "EDGE_SE2 0 1  1.0 0.0  0.1  1 0 0  1 0 1\n"
+    )
+    for use_native in (False, True):
+        from slam_tpu.io import native
+        if use_native and not native.available():
+            continue
+        g = g2o.load_g2o(str(path), use_native=use_native)
+        assert g.num_nodes == 2 and g.num_edges == 1
+        np.testing.assert_allclose(g.poses[1], [1.0, 0.0, 0.1])
+        np.testing.assert_allclose(g.edges_meas[0], [1.0, 0.0, 0.1])
+
+
+def test_unknown_records_ignored(tmp_path):
+    """Unknown g2o record types are skipped (the reference's if-chain simply
+    never matches them)."""
+    path = tmp_path / "mixed.g2o"
+    path.write_text(
+        "# a comment line\n"
+        "VERTEX_SE2 0 0 0 0\n"
+        "FIXED 0\n"
+        "VERTEX_SE2 1 1 0 0\n"
+        "EDGE_SE2 0 1 1 0 0 1 0 0 1 0 1\n"
+        "EQUIV 0 1\n"
+    )
+    for use_native in (False, True):
+        from slam_tpu.io import native
+        if use_native and not native.available():
+            continue
+        g = g2o.load_g2o(str(path), use_native=use_native)
+        assert g.num_nodes == 2 and g.num_edges == 1

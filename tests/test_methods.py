@@ -128,3 +128,38 @@ def test_method4_artifacts(tmp_path, dirty_circle):
         "# layer_id visits total_reward avg_reward normalized_reward "
         "total_edges inherited_edges added_edges\n"
     )
+
+
+def test_method3_log_tags_match_reference(tmp_path, dirty_circle):
+    """Method-3 logs carry the reference's bracketed tags
+    (``layer_manager.cpp`` [uct] [conflict] [assign] [residual] [uct_update]
+    and the split family)."""
+    graph, _ = dirty_circle
+    from slam_tpu.utils.logging import RunLogger
+
+    log_path = tmp_path / "m3.log"
+    mgr = LayeringManager(
+        graph, LayeringConfig(max_layers=6), _SOLVER,
+        RunLogger(str(log_path), echo=False),
+    )
+    mgr.run()
+    text = log_path.read_text()
+    for tag in ("[init]", "[uct]", "[conflict]", "[assign]", "[residual]",
+                "[uct_update]", "[finish]", "[summary]"):
+        assert tag in text, tag
+
+
+def test_method4_log_tags_match_reference(tmp_path, dirty_circle):
+    graph, _ = dirty_circle
+    from slam_tpu.utils.logging import RunLogger
+
+    log_path = tmp_path / "m4.log"
+    mgr = MctsManager(
+        graph, MctsConfig(max_layers=6), _SOLVER,
+        RunLogger(str(log_path), echo=False),
+    )
+    mgr.run()
+    text = log_path.read_text()
+    for tag in ("[init]", "[residual]", "[split_check]", "[reward]",
+                "[backprop]", "[summary]"):
+        assert tag in text, tag
