@@ -37,7 +37,9 @@ LM_ITERS = 50
 DATASET = "INTEL"
 NUM_OUTLIERS = 50
 BATCH = 8
-NUM_BLOCKS = 4
+# Block-count sweep on INTEL (results/README.md): P=2/4/8/12/16 ->
+# 278/350/383/383/416 single-problem it/s at identical cost; 16 wins.
+NUM_BLOCKS = 16
 
 
 def main() -> int:

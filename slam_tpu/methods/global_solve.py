@@ -78,7 +78,9 @@ def run_global_solve(
     if scfg.linear_solver == "schur":
         from slam_tpu.solver.schur import build_partition
 
-        nblocks = min(8, max(2, canon.num_nodes // 512))
+        # Block-count sweep (results/README.md): more, smaller interior
+        # blocks win until the separator dominates; 16 was best on INTEL.
+        nblocks = min(16, max(2, canon.num_nodes // 200))
         # Partition over the PADDED edge list so shapes line up with the
         # EdgeSet; pad edges self-loop on node 0 (a separator) with zero
         # weight, so they are unowned and contribute nothing.
