@@ -45,6 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dcs-phi", type=float, default=0.5)
     p.add_argument("--huber-delta", type=float, default=0.01)
     p.add_argument("--sc-lambda", type=float, default=1.0)
+    p.add_argument("--sc-varpro", action="store_true",
+                   help="method 2 with variable-projection switch "
+                        "elimination (closed-form s*, Geman-McClure "
+                        "equivalent) -- rejects outliers where the "
+                        "reference's Huber-wrapped joint SC cannot")
     p.add_argument("--max-iterations", type=int, default=50)
     p.add_argument("--linear-solver", default="auto",
                    choices=["auto", "dense", "pcg", "schur"],
@@ -71,6 +76,7 @@ def config_from_args(args) -> RunConfig:
     dtype = args.dtype or ("float64" if platform == "cpu" else "float32")
     linear_solver = args.linear_solver
     solver = SolverConfig(
+        robust="sc_varpro" if getattr(args, "sc_varpro", False) else "none",
         dcs_phi=args.dcs_phi,
         huber_delta=args.huber_delta,
         sc_prior_lambda=args.sc_lambda,

@@ -117,6 +117,8 @@ class RunConfig:
 
 def solver_config_for_method(method: int, base: SolverConfig | None = None) -> SolverConfig:
     base = base or SolverConfig()
+    if method == METHOD_SC and base.robust == "sc_varpro":
+        return base  # variable-projection variant of method 2
     robust = {METHOD_BASELINE: "none", METHOD_DCS: "dcs", METHOD_SC: "sc"}.get(
         method, "none"
     )

@@ -42,8 +42,9 @@ class GlobalSolveOutput:
 def pick_linear_solver(graph: PoseGraph, robust: str) -> str:
     """Size/robustness-based default: dense MXU Cholesky is exact and fast
     up to ~2k nodes; beyond that f32 dense both slows (O(n^3)) and loses
-    accuracy, so the partitioned Schur solver takes over.  SC carries extra
-    switch unknowns that only the dense path assembles today."""
+    accuracy, so the partitioned Schur solver takes over.  Joint SC carries
+    extra switch unknowns that only the dense path assembles (the varpro
+    variant eliminates them and works with every solver)."""
     if robust == "sc":
         return "dense"
     return "dense" if graph.num_nodes <= 2048 else "schur"
@@ -140,9 +141,25 @@ def run_from_config(cfg: RunConfig) -> GlobalSolveOutput:
     g2o.write_nodes(os.path.join(cfg.save_path, "opt_nodes.txt"), out.poses)
     g2o.write_edges(os.path.join(cfg.save_path, "opt_edges.txt"), graph)
     if cfg.method == METHOD_SC:
-        loop_mask = graph.canonical_order().edge_type != 0
-        # out.switches covers the bucket-padded edge array; real edges first.
-        sw = out.switches[: loop_mask.shape[0]][loop_mask]
+        canon = graph.canonical_order()
+        loop_mask = canon.edge_type != 0
+        scfg = solver_config_for_method(cfg.method, cfg.solver)
+        if scfg.robust == "sc_varpro":
+            # Switches were eliminated; recover s* from final residuals.
+            from slam_tpu.geometry import se2 as _se2
+            from slam_tpu.robust.kernels import sc_varpro_switch
+            import jax.numpy as _jnp
+            pa = out.poses[canon.edges_ij[:, 0]]
+            pb = out.poses[canon.edges_ij[:, 1]]
+            e = _se2.residual(
+                _jnp.asarray(pa), _jnp.asarray(pb),
+                _jnp.asarray(canon.edges_meas),
+            )
+            sw_all = np.asarray(sc_varpro_switch(e, scfg.sc_prior_lambda))
+            sw = sw_all[loop_mask]
+        else:
+            # out.switches covers the bucket-padded edge array; real first.
+            sw = out.switches[: loop_mask.shape[0]][loop_mask]
         g2o.write_switches(
             os.path.join(cfg.save_path, "switches.txt"),
             graph,

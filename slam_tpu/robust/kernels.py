@@ -108,3 +108,43 @@ def switch_scale(
 def switch_prior_residual(s: Array, lam: float) -> Array:
     """Prior residual ``sqrt(lambda) * (1 - s)`` (``ceres_error.cpp:315``)."""
     return jnp.sqrt(lam) * (1.0 - s)
+
+
+def sc_varpro_scale(
+    e: Array, Ja: Array, Jb: Array, lam: float
+) -> tuple[Array, Array, Array]:
+    """Variable-projection switchable constraints.
+
+    The reference optimises the switch ``s`` jointly with the poses
+    (``main.cpp:115-125``); but for fixed poses the optimal switch of
+    ``0.5 |s e|^2 + 0.5 lam (1-s)^2`` has the closed form
+
+        s*(r2) = lam / (lam + r2),   r2 = |e|^2,
+
+    so the switches can be *eliminated* (variable projection): substitute
+    ``s*`` and differentiate through it, exactly as DCS differentiates
+    through psi.  This is the classical Black-Rangarajan equivalence of
+    switchable constraints with a Geman-McClure kernel -- and unlike the
+    reference's joint formulation (whose Huber wrapper keeps switches near
+    1), it actually drives outlier weights toward 0.
+
+    Chain rule: with ``psi = s*``, ``dpsi/dr2 = -psi^2 / lam``:
+
+        d(psi e)/dx = psi J + e (dpsi/dr2) (2 e^T J)
+    """
+    r2 = jnp.sum(e * e, axis=-1)
+    psi = lam / (lam + r2)
+    dpsi = -psi * psi / lam
+
+    def scale_jac(J: Array) -> Array:
+        drdx = 2.0 * jnp.einsum("...k,...kj->...j", e, J)
+        return psi[..., None, None] * J + (
+            e[..., :, None] * (dpsi[..., None] * drdx)[..., None, :]
+        )
+
+    return psi[..., None] * e, scale_jac(Ja), scale_jac(Jb)
+
+
+def sc_varpro_switch(e: Array, lam: float) -> Array:
+    """The eliminated switch values ``s*`` (for reporting/switches.txt)."""
+    return lam / (lam + jnp.sum(e * e, axis=-1))

@@ -129,6 +129,13 @@ def linearize(
         e = m * es + (1 - m) * e
         Ja = mm * Jas + (1 - mm) * Ja
         Jb = mm * Jbs + (1 - mm) * Jb
+    elif robust == "sc_varpro":
+        ev, Jav, Jbv = kernels.sc_varpro_scale(e, Ja, Jb, sc_prior_lambda)
+        m = loop_f[:, None]
+        mm = loop_f[:, None, None]
+        e = m * ev + (1 - m) * e
+        Ja = mm * Jav + (1 - mm) * Ja
+        Jb = mm * Jbv + (1 - mm) * Jb
     elif robust != "none":
         raise ValueError(f"unknown robust mode {robust!r}")
 
@@ -206,6 +213,10 @@ def cost_only(
         e = scale[:, None] * e
     elif robust == "sc":
         scale = loop_f * switches + (1 - loop_f)
+        e = scale[:, None] * e
+    elif robust == "sc_varpro":
+        psi = kernels.sc_varpro_switch(e, sc_prior_lambda)
+        scale = loop_f * psi + (1 - loop_f)
         e = scale[:, None] * e
     s2 = jnp.sum(e * e, axis=-1)
     cost = 0.5 * jnp.sum(edges.active * kernels.huber_rho(s2, huber_delta))

@@ -168,3 +168,27 @@ def test_f32_fixed_point_close_to_f64(circle):
 
     ate_between = float(se2.ate(res32.poses.astype(jnp.float64), res64.poses))
     assert ate_between < 5e-3, f"f32 fixed point drifted: {ate_between}"
+
+
+def test_sc_varpro_rejects_outliers(circle, circle_outliers):
+    """Variable-projection SC (closed-form switch elimination; Geman-McClure
+    equivalence) must reject outliers where the reference's Huber-wrapped
+    joint SC cannot -- a framework extension beyond reference parity."""
+    graph, gt = circle
+    dirty, _ = circle_outliers
+    gt = jnp.asarray(gt)
+    edges, free, poses0, sw0 = _setup(dirty)
+    base = SolverConfig(linear_solver="dense", dtype="float64",
+                        use_pallas="off")
+    ate_sc = float(se2.ate(
+        lm_solve(poses0, sw0, edges, free, base.replace(robust="sc")).poses,
+        gt))
+    ate_vp = float(se2.ate(
+        lm_solve(poses0, sw0, edges, free,
+                 base.replace(robust="sc_varpro")).poses, gt))
+    edges_c, free_c, poses0_c, sw0_c = _setup(graph)
+    ate_clean = float(se2.ate(
+        lm_solve(poses0_c, sw0_c, edges_c, free_c,
+                 base.replace(robust="none")).poses, gt))
+    assert ate_vp < 2 * ate_clean, (ate_vp, ate_clean)
+    assert ate_vp < ate_sc / 10
