@@ -66,6 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "re-running with the same FILE resumes")
     p.add_argument("--eval-against", default=None,
                    help="nodes file to compute ATE against (e.g. a reference opt_nodes.txt)")
+    p.add_argument("--fused", default="auto", choices=["auto", "on", "off"],
+                   help="methods 3/4 engine: fused single-program lax.scan "
+                        "vs host-driven loop (auto: fused on accelerators)")
     return p
 
 
@@ -141,10 +144,10 @@ def main(argv=None) -> int:
             out = run_from_config(cfg)
         elif cfg.method == 3:
             from slam_tpu.methods.layering import run_from_config as run3
-            out = run3(cfg)
+            out = run3(cfg, fused=args.fused)
         else:
             from slam_tpu.methods.mcts import run_from_config as run4
-            out = run4(cfg)
+            out = run4(cfg, fused=args.fused)
 
     if args.eval_against:
         from slam_tpu.eval import metrics

@@ -81,6 +81,16 @@ class LayeringConfig:
     # Reward shaping (``layer_manager.cpp:454-455``).
     alpha_info: float = 0.1
     beta_sparse: float = 0.05
+    # Fused engine: candidates per device call (the remote TPU backend
+    # kills single executions running past ~1 min; state stays on device
+    # between chunks, so this only bounds per-call runtime).
+    scan_chunk: int = 64
+    # Inner-solve accuracy for the candidate evaluations when the eval
+    # solver is PCG (TPU).  The reference's evaluate_cost runs 1-2 *inexact*
+    # Ceres iterations (``layer_manager.cpp:642``); a loose CG tolerance is
+    # the faithful analog and ~5x cheaper than rtol 1e-8.
+    eval_pcg_rtol: float = 1e-3
+    eval_pcg_max_iters: int = 64
 
 
 @dataclasses.dataclass(frozen=True)
@@ -99,6 +109,10 @@ class MctsConfig:
     residual_low: float = 3.0
     residual_high: float = 50.0
     local_window: int = 20
+    # Fused engine chunking + inner-solve accuracy (see LayeringConfig).
+    scan_chunk: int = 64
+    eval_pcg_rtol: float = 1e-3
+    eval_pcg_max_iters: int = 64
 
 
 @dataclasses.dataclass(frozen=True)

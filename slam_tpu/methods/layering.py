@@ -113,8 +113,13 @@ class LayeringManager:
                 linear = "pcg"
             else:
                 linear = "dense" if self.graph.num_nodes <= 2048 else "pcg"
+        extra = {}
+        if linear == "pcg":
+            extra = dict(pcg_rtol=cfg.eval_pcg_rtol,
+                         pcg_max_iters=cfg.eval_pcg_max_iters)
         self.eval_cfg = solver.replace(
-            robust="none", huber_delta=cfg.huber_delta, linear_solver=linear
+            robust="none", huber_delta=cfg.huber_delta,
+            linear_solver=linear, **extra,
         )
         self.dtype = jnp.dtype(self.eval_cfg.dtype)
 
@@ -395,7 +400,22 @@ class LayeringManager:
             )
 
 
-def run_from_config(cfg: RunConfig) -> LayeringOutput:
+def make_manager(graph, cfg: RunConfig, logger, fused: str = "auto"):
+    """Pick the method-3 engine: the host-driven manager (reference-shaped
+    loop; exact CPU baseline) or the fused single-program scan
+    (``layering_fused.py``; default on accelerators where per-edge device
+    round-trips dominate).  Both produce identical decisions/logs
+    (``test_fused_layering_matches_host``)."""
+    use_fused = (fused == "on") or (
+        fused == "auto" and jax.default_backend() != "cpu"
+    )
+    if use_fused:
+        from slam_tpu.methods.layering_fused import FusedLayeringManager
+        return FusedLayeringManager(graph, cfg.layering, cfg.solver, logger)
+    return LayeringManager(graph, cfg.layering, cfg.solver, logger)
+
+
+def run_from_config(cfg: RunConfig, fused: str = "auto") -> LayeringOutput:
     """Reference-equivalent method-3 pipeline with ``save/`` artifacts
     (``layer_manager.cpp:546-600``)."""
     os.makedirs(cfg.save_path, exist_ok=True)
@@ -406,7 +426,7 @@ def run_from_config(cfg: RunConfig) -> LayeringOutput:
     g2o.write_nodes(os.path.join(cfg.save_path, "init_nodes.txt"), graph.poses)
     g2o.write_edges(os.path.join(cfg.save_path, "init_edges.txt"), graph)
 
-    mgr = LayeringManager(graph, cfg.layering, cfg.solver, logger)
+    mgr = make_manager(graph, cfg, logger, fused)
     out = mgr.run()
 
     with open(os.path.join(cfg.save_path, "layers.txt"), "w") as f:

@@ -78,8 +78,13 @@ class MctsManager:
                 linear = "pcg"
             else:
                 linear = "dense" if graph.num_nodes <= 2048 else "pcg"
+        extra = {}
+        if linear == "pcg":
+            extra = dict(pcg_rtol=cfg.eval_pcg_rtol,
+                         pcg_max_iters=cfg.eval_pcg_max_iters)
         self.eval_cfg = solver.replace(
-            robust="none", huber_delta=cfg.huber_delta, linear_solver=linear
+            robust="none", huber_delta=cfg.huber_delta,
+            linear_solver=linear, **extra,
         )
         self.dtype = jnp.dtype(self.eval_cfg.dtype)
         self.edges = edge_set_from_graph(self.graph, dtype=self.dtype)
@@ -354,7 +359,20 @@ class MctsManager:
         )
 
 
-def run_from_config(cfg: RunConfig) -> MctsOutput:
+def make_manager(graph, cfg: RunConfig, logger, fused: str = "auto"):
+    """Pick the method-4 engine (see ``layering.make_manager``): host loop
+    on CPU, fused single-program scan on accelerators.  Identical decisions
+    (``test_fused_mcts_matches_host``)."""
+    use_fused = (fused == "on") or (
+        fused == "auto" and jax.default_backend() != "cpu"
+    )
+    if use_fused:
+        from slam_tpu.methods.mcts_fused import FusedMctsManager
+        return FusedMctsManager(graph, cfg.mcts, cfg.solver, logger)
+    return MctsManager(graph, cfg.mcts, cfg.solver, logger)
+
+
+def run_from_config(cfg: RunConfig, fused: str = "auto") -> MctsOutput:
     """Reference-equivalent method-4 pipeline with ``save/`` artifacts
     (``simple_layer_manager.cpp:705-787``)."""
     os.makedirs(cfg.save_path, exist_ok=True)
@@ -365,7 +383,7 @@ def run_from_config(cfg: RunConfig) -> MctsOutput:
     g2o.write_nodes(os.path.join(cfg.save_path, "init_nodes.txt"), graph.poses)
     g2o.write_edges(os.path.join(cfg.save_path, "init_edges.txt"), graph)
 
-    mgr = MctsManager(graph, cfg.mcts, cfg.solver, logger)
+    mgr = make_manager(graph, cfg, logger, fused)
     out = mgr.run()
 
     g2o.write_nodes(os.path.join(cfg.save_path, "opt_nodes.txt"), out.poses)

@@ -163,3 +163,80 @@ def test_method4_log_tags_match_reference(tmp_path, dirty_circle):
     for tag in ("[init]", "[residual]", "[split_check]", "[reward]",
                 "[backprop]", "[summary]"):
         assert tag in text, tag
+
+
+def test_fused_layering_matches_host(dirty_circle):
+    """The single-program (lax.scan) method 3 reproduces the host-driven
+    manager's decision sequence and final state exactly (f64/CPU)."""
+    graph, _ = dirty_circle
+    from slam_tpu.methods.layering_fused import FusedLayeringManager
+
+    cfg = LayeringConfig(local_iters=2, max_layers=8)
+    host = LayeringManager(graph, cfg, _SOLVER, RunLogger(echo=False)).run()
+    fused = FusedLayeringManager(
+        graph, cfg, _SOLVER, RunLogger(echo=False)
+    ).run()
+
+    assert fused.assignments == host.assignments
+    assert fused.best_layer == host.best_layer
+    assert fused.most_selected_layer == host.most_selected_layer
+    assert len(fused.layers) == len(host.layers)
+    for fl, hl in zip(fused.layers, host.layers):
+        np.testing.assert_array_equal(fl.mask, hl.mask)
+        np.testing.assert_allclose(fl.poses, hl.poses, atol=1e-9)
+        assert fl.visits == hl.visits
+        np.testing.assert_allclose(
+            fl.ema_residual, hl.ema_residual, atol=1e-9
+        )
+        np.testing.assert_allclose(
+            fl.total_reward, hl.total_reward, atol=1e-9
+        )
+    np.testing.assert_allclose(fused.poses, host.poses, atol=1e-9)
+
+
+def test_fused_layering_chunking_invariant(dirty_circle):
+    """Chunked device calls (scan sliced at scan_chunk + live-mask padding)
+    must not change any decision."""
+    graph, _ = dirty_circle
+    from slam_tpu.methods.layering_fused import FusedLayeringManager
+
+    big = FusedLayeringManager(
+        graph, LayeringConfig(local_iters=2, max_layers=8, scan_chunk=64),
+        _SOLVER, RunLogger(echo=False),
+    ).run()
+    small = FusedLayeringManager(
+        graph, LayeringConfig(local_iters=2, max_layers=8, scan_chunk=3),
+        _SOLVER, RunLogger(echo=False),
+    ).run()
+    assert small.assignments == big.assignments
+    assert small.best_layer == big.best_layer
+    np.testing.assert_allclose(small.poses, big.poses, atol=0)
+
+
+def test_fused_mcts_matches_host(dirty_circle):
+    """The single-program (lax.scan) method 4 reproduces the host-driven
+    MCTS manager's decision sequence and final tree exactly (f64/CPU)."""
+    graph, _ = dirty_circle
+    from slam_tpu.methods.mcts_fused import FusedMctsManager
+
+    cfg = MctsConfig(local_iters=2, max_layers=8)
+    host = MctsManager(graph, cfg, _SOLVER, RunLogger(echo=False)).run()
+    fused = FusedMctsManager(
+        graph, cfg, _SOLVER, RunLogger(echo=False)
+    ).run()
+
+    assert fused.assignments == host.assignments
+    assert fused.best_layer == host.best_layer
+    assert fused.most_visited_layer == host.most_visited_layer
+    assert fused.most_edges_layer == host.most_edges_layer
+    assert set(fused.layers) == set(host.layers)
+    for lid, hl in host.layers.items():
+        fl = fused.layers[lid]
+        assert fl.parent == hl.parent
+        assert fl.visits == hl.visits
+        assert sorted(fl.children) == sorted(hl.children)
+        np.testing.assert_array_equal(fl.inherited, hl.inherited)
+        np.testing.assert_array_equal(fl.added, hl.added)
+        np.testing.assert_allclose(fl.total_reward, hl.total_reward,
+                                   atol=1e-9)
+        np.testing.assert_allclose(fl.poses, hl.poses, atol=1e-9)
