@@ -8,8 +8,11 @@ configuration, with the same quality gate and timing discipline as bench.py
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run(batch: int, blocks: int) -> dict:

@@ -61,9 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="capture a jax.profiler trace of the solve into DIR "
                         "(TensorBoard-loadable)")
     p.add_argument("--checkpoint", default=None, metavar="FILE",
-                   help="run methods 0-2 in resumable chunks, persisting "
-                        "solver state to FILE (utils/checkpoint.py); "
-                        "re-running with the same FILE resumes")
+                   help="resumable solves: methods 0-2 persist chunked LM "
+                        "state, methods 3/4 persist the fused scan state at "
+                        "chunk boundaries (utils/checkpoint.py); re-running "
+                        "with the same FILE resumes")
     p.add_argument("--eval-against", default=None,
                    help="nodes file to compute ATE against (e.g. a reference opt_nodes.txt)")
     p.add_argument("--fused", default="auto", choices=["auto", "on", "off"],
@@ -144,10 +145,10 @@ def main(argv=None) -> int:
             out = run_from_config(cfg)
         elif cfg.method == 3:
             from slam_tpu.methods.layering import run_from_config as run3
-            out = run3(cfg, fused=args.fused)
+            out = run3(cfg, fused=args.fused, checkpoint=args.checkpoint)
         else:
             from slam_tpu.methods.mcts import run_from_config as run4
-            out = run4(cfg, fused=args.fused)
+            out = run4(cfg, fused=args.fused, checkpoint=args.checkpoint)
 
     if args.eval_against:
         from slam_tpu.eval import metrics

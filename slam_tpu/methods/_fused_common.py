@@ -1,0 +1,102 @@
+"""Shared chunk-loop driver for the fused method-3/4 scan engines.
+
+Runs the per-edge decision scan in fixed-size device calls (the remote TPU
+backend kills single executions past ~1 min), carrying the layer state on
+device between chunks, and optionally checkpointing at every chunk boundary
+-- the state is a small pytree, so resume-after-preemption costs one npz
+read (the reference has no mid-solve persistence at all, SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import jax
+import numpy as np
+
+
+def fingerprint(*arrays, extra: str = "") -> str:
+    """Cheap content hash tying a checkpoint to (graph, candidates, config)."""
+    h = hashlib.sha256()
+    for a in arrays:
+        a = np.ascontiguousarray(a)
+        h.update(str(a.shape).encode())
+        h.update(a.tobytes())
+    h.update(extra.encode())
+    return h.hexdigest()[:16]
+
+
+def run_chunked(
+    state,                 # initial scan-state NamedTuple (device arrays)
+    chunk_fn,              # _fused_chunk(state, *consts, *xs_chunk, cfg, solver)
+    consts: tuple,
+    xs_np: list[np.ndarray],   # per-candidate arrays, ALREADY padded
+    xs_dtypes: list,
+    chunk: int,
+    n_live: int,           # true candidate count (pre-padding)
+    cfg,
+    solver,
+    checkpoint_path: str | None = None,
+    fp: str = "",
+):
+    """Returns ``(final_state, outs)`` with ``outs`` host-side, concatenated
+    across chunks and truncated to ``n_live``."""
+    import jax.numpy as jnp
+
+    from slam_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    total = xs_np[0].shape[0]
+    assert total % chunk == 0
+    start = 0
+    outs: list = []
+
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        saved, meta = load_checkpoint(checkpoint_path)
+        if meta.get("fingerprint") == fp and meta.get("chunk") == chunk:
+            start = int(meta["chunks_done"]) * chunk
+            state = type(state)(
+                **{k: jnp.asarray(saved[f"s_{k}"])
+                   for k in state._fields}
+            )
+            if start > 0:
+                prev = {
+                    k[2:]: saved[k] for k in saved if k.startswith("o_")
+                }
+                outs = [prev] if prev else []
+
+    for s0 in range(start, total, chunk):
+        sl = slice(s0, s0 + chunk)
+        state, o = chunk_fn(
+            state, *consts,
+            *[jnp.asarray(x[sl], dt) for x, dt in zip(xs_np, xs_dtypes)],
+            cfg, solver,
+        )
+        outs.append(jax.device_get(o._asdict()))
+        if checkpoint_path:
+            merged = _concat(outs)
+            save_checkpoint(
+                checkpoint_path,
+                {**{f"s_{k}": np.asarray(v)
+                    for k, v in jax.device_get(state)._asdict().items()},
+                 **{f"o_{k}": v for k, v in merged.items()}},
+                meta={
+                    "fingerprint": fp,
+                    "chunk": chunk,
+                    "chunks_done": (s0 + chunk) // chunk,
+                },
+            )
+            outs = [merged]
+
+    state = jax.device_get(state)
+    merged = _concat(outs)
+    merged = {k: v[:n_live] for k, v in merged.items()}
+    return state, merged
+
+
+def _concat(outs: list[dict]) -> dict:
+    if len(outs) == 1:
+        return outs[0]
+    return {
+        k: np.concatenate([o[k] for o in outs]) for k in outs[0]
+    }

@@ -400,22 +400,26 @@ class LayeringManager:
             )
 
 
-def make_manager(graph, cfg: RunConfig, logger, fused: str = "auto"):
+def make_manager(graph, cfg: RunConfig, logger, fused: str = "auto",
+                 checkpoint: str | None = None):
     """Pick the method-3 engine: the host-driven manager (reference-shaped
     loop; exact CPU baseline) or the fused single-program scan
     (``layering_fused.py``; default on accelerators where per-edge device
     round-trips dominate).  Both produce identical decisions/logs
-    (``test_fused_layering_matches_host``)."""
+    (``test_fused_layering_matches_host``).  ``checkpoint`` enables
+    chunk-boundary resume (fused engine only)."""
     use_fused = (fused == "on") or (
         fused == "auto" and jax.default_backend() != "cpu"
-    )
+    ) or (checkpoint is not None)
     if use_fused:
         from slam_tpu.methods.layering_fused import FusedLayeringManager
-        return FusedLayeringManager(graph, cfg.layering, cfg.solver, logger)
+        return FusedLayeringManager(graph, cfg.layering, cfg.solver, logger,
+                                    checkpoint_path=checkpoint)
     return LayeringManager(graph, cfg.layering, cfg.solver, logger)
 
 
-def run_from_config(cfg: RunConfig, fused: str = "auto") -> LayeringOutput:
+def run_from_config(cfg: RunConfig, fused: str = "auto",
+                    checkpoint: str | None = None) -> LayeringOutput:
     """Reference-equivalent method-3 pipeline with ``save/`` artifacts
     (``layer_manager.cpp:546-600``)."""
     os.makedirs(cfg.save_path, exist_ok=True)
@@ -426,7 +430,7 @@ def run_from_config(cfg: RunConfig, fused: str = "auto") -> LayeringOutput:
     g2o.write_nodes(os.path.join(cfg.save_path, "init_nodes.txt"), graph.poses)
     g2o.write_edges(os.path.join(cfg.save_path, "init_edges.txt"), graph)
 
-    mgr = make_manager(graph, cfg, logger, fused)
+    mgr = make_manager(graph, cfg, logger, fused, checkpoint)
     out = mgr.run()
 
     with open(os.path.join(cfg.save_path, "layers.txt"), "w") as f:

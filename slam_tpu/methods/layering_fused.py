@@ -269,8 +269,10 @@ def _fused_chunk(
             oh_target[:, None, None] * new_tgt[None, :, :]
 
         # -- EMA residual (:440-447) ---------------------------------------
-        pa = jnp.einsum("n,nc->c", (iota_n == a).astype(dtype), new_tgt)
-        pb = jnp.einsum("n,nc->c", (iota_n == b).astype(dtype), new_tgt)
+        pa = jnp.einsum("n,nc->c", (iota_n == a).astype(dtype), new_tgt,
+                        precision=jax.lax.Precision.HIGHEST)
+        pb = jnp.einsum("n,nc->c", (iota_n == b).astype(dtype), new_tgt,
+                        precision=jax.lax.Precision.HIGHEST)
         r = _edge_residual(pa, pb, meas, cfg.theta_weight)
         ema_prev = jnp.sum(oh_target * s.ema)
         ema_now = (1 - cfg.ema_alpha) * ema_prev + cfg.ema_alpha * r
@@ -342,10 +344,12 @@ class FusedLayeringManager:
         cfg: LayeringConfig,
         solver: SolverConfig | None = None,
         logger: RunLogger | None = None,
+        checkpoint_path: str | None = None,
     ):
         self.graph = graph.canonical_order()
         self.cfg = cfg
         self.log = logger or RunLogger()
+        self.checkpoint_path = checkpoint_path
 
         solver = solver or SolverConfig()
         linear = solver.linear_solver
@@ -388,19 +392,22 @@ class FusedLayeringManager:
         # executions running past ~1 min, so the scan is sliced into
         # fixed-size chunks (one compilation, reused); the layer state stays
         # on device between calls and only the per-edge decision records
-        # come back to the host at the end.
+        # come back to the host at the end.  Optional chunk-boundary
+        # checkpointing (see _fused_common.run_chunked).
+        from slam_tpu.methods import _fused_common as fc
+
         chunk = max(1, min(self.cfg.scan_chunk, C))
         pad = (-C) % chunk
-        eidx_p = np.concatenate([cand, np.zeros(pad, np.int32)])
-        ab_p = np.concatenate(
-            [g.edges_ij[cand], np.zeros((pad, 2), np.int32)]
-        ).astype(np.int32)
-        meas_p = np.concatenate(
-            [g.edges_meas[cand], np.zeros((pad, g.edges_meas.shape[1]))]
-        )
-        ig_p = np.concatenate([info_gain, np.zeros(pad)])
-        live_p = np.concatenate([np.ones(C), np.zeros(pad)])
-
+        xs_np = [
+            np.concatenate([cand, np.zeros(pad, np.int32)]),
+            np.concatenate([g.edges_ij[cand],
+                            np.zeros((pad, 2), np.int32)]).astype(np.int32),
+            np.concatenate([g.edges_meas[cand],
+                            np.zeros((pad, g.edges_meas.shape[1]))]),
+            np.concatenate([info_gain, np.zeros(pad)]),
+            np.concatenate([np.ones(C), np.zeros(pad)]),
+        ]
+        dtypes = [jnp.int32, jnp.int32] + [self.dtype] * 3
         consts = (
             self.edges,
             jnp.asarray(odo, self.dtype),
@@ -411,25 +418,16 @@ class FusedLayeringManager:
             jnp.asarray(g.poses, self.dtype), self.cfg.max_layers,
             self.edges.num_edges, self.dtype,
         )
-        outs = []
-        for s0 in range(0, C + pad, chunk):
-            sl = slice(s0, s0 + chunk)
-            state, o = _fused_chunk(
-                state, *consts,
-                jnp.asarray(eidx_p[sl]),
-                jnp.asarray(ab_p[sl], jnp.int32),
-                jnp.asarray(meas_p[sl], self.dtype),
-                jnp.asarray(ig_p[sl], self.dtype),
-                jnp.asarray(live_p[sl], self.dtype),
-                self.cfg,
-                self.eval_cfg,
-            )
-            outs.append(o)
-        state = jax.device_get(state)
-        outs = jax.device_get(outs)
-        outs = jax.tree.map(lambda *xs: np.concatenate(xs), *outs)
-        outs = jax.tree.map(lambda x: x[:C], outs)
-        return self._replay(state, outs)
+        fp = fc.fingerprint(
+            g.poses, g.edges_ij, g.edges_meas, cand,
+            extra=f"m3|{self.cfg}|{self.eval_cfg}",
+        )
+        state, merged = fc.run_chunked(
+            state, _fused_chunk, consts, xs_np, dtypes, chunk, C,
+            self.cfg, self.eval_cfg,
+            checkpoint_path=self.checkpoint_path, fp=fp,
+        )
+        return self._replay(state, _ScanOut(**merged))
 
     # -- host-side replay: identical logs + outputs ------------------------
     def _replay(self, state, o) -> LayeringOutput:

@@ -359,20 +359,23 @@ class MctsManager:
         )
 
 
-def make_manager(graph, cfg: RunConfig, logger, fused: str = "auto"):
+def make_manager(graph, cfg: RunConfig, logger, fused: str = "auto",
+                 checkpoint: str | None = None):
     """Pick the method-4 engine (see ``layering.make_manager``): host loop
     on CPU, fused single-program scan on accelerators.  Identical decisions
     (``test_fused_mcts_matches_host``)."""
     use_fused = (fused == "on") or (
         fused == "auto" and jax.default_backend() != "cpu"
-    )
+    ) or (checkpoint is not None)
     if use_fused:
         from slam_tpu.methods.mcts_fused import FusedMctsManager
-        return FusedMctsManager(graph, cfg.mcts, cfg.solver, logger)
+        return FusedMctsManager(graph, cfg.mcts, cfg.solver, logger,
+                                checkpoint_path=checkpoint)
     return MctsManager(graph, cfg.mcts, cfg.solver, logger)
 
 
-def run_from_config(cfg: RunConfig, fused: str = "auto") -> MctsOutput:
+def run_from_config(cfg: RunConfig, fused: str = "auto",
+                    checkpoint: str | None = None) -> MctsOutput:
     """Reference-equivalent method-4 pipeline with ``save/`` artifacts
     (``simple_layer_manager.cpp:705-787``)."""
     os.makedirs(cfg.save_path, exist_ok=True)
@@ -383,7 +386,7 @@ def run_from_config(cfg: RunConfig, fused: str = "auto") -> MctsOutput:
     g2o.write_nodes(os.path.join(cfg.save_path, "init_nodes.txt"), graph.poses)
     g2o.write_edges(os.path.join(cfg.save_path, "init_edges.txt"), graph)
 
-    mgr = make_manager(graph, cfg, logger, fused)
+    mgr = make_manager(graph, cfg, logger, fused, checkpoint)
     out = mgr.run()
 
     g2o.write_nodes(os.path.join(cfg.save_path, "opt_nodes.txt"), out.poses)

@@ -45,9 +45,6 @@ from slam_tpu.utils.logging import RunLogger
 
 Array = jax.Array
 
-EVAL_CHUNK = 3  # host batch width for split-check (3) / reward (2+pad)
-
-
 class _TreeState(NamedTuple):
     poses: Array        # (L, N, 3)
     inherited: Array    # (L, E)
@@ -161,8 +158,10 @@ def _fused_chunk(
         sel_all = jnp.maximum(sel_inh, sel_add)
 
         # -- Mahalanobis gate (:388-455) ------------------------------------
-        pa = jnp.einsum("n,nc->c", (iota_n == a).astype(dtype), sel_poses)
-        pb = jnp.einsum("n,nc->c", (iota_n == b).astype(dtype), sel_poses)
+        pa = jnp.einsum("n,nc->c", (iota_n == a).astype(dtype), sel_poses,
+                        precision=jax.lax.Precision.HIGHEST)
+        pb = jnp.einsum("n,nc->c", (iota_n == b).astype(dtype), sel_poses,
+                        precision=jax.lax.Precision.HIGHEST)
         dx, dy = pb[0] - pa[0], pb[1] - pa[1]
         ca, sa = jnp.cos(pa[2]), jnp.sin(pa[2])
         r = jnp.stack([
@@ -320,10 +319,12 @@ class FusedMctsManager:
         cfg: MctsConfig,
         solver: SolverConfig | None = None,
         logger: RunLogger | None = None,
+        checkpoint_path: str | None = None,
     ):
         self.graph = graph.canonical_order()
         self.cfg = cfg
         self.log = logger or RunLogger()
+        self.checkpoint_path = checkpoint_path
 
         solver = solver or SolverConfig()
         linear = solver.linear_solver
@@ -362,6 +363,8 @@ class FusedMctsManager:
         odo = (g.edge_type == ODOMETRY_EDGE).astype(np.float64)
         clos = (g.edge_type == CLOSURE_EDGE).astype(np.float64)
 
+        from slam_tpu.methods import _fused_common as fc
+
         C = len(cand)
         chunk = max(1, min(self.cfg.scan_chunk, C))
         pad = (-C) % chunk
@@ -389,21 +392,16 @@ class FusedMctsManager:
             jnp.asarray(g.poses, self.dtype), self.cfg.max_layers,
             self.edges.num_edges, self.dtype,
         )
-        outs = []
-        for s0 in range(0, C + pad, chunk):
-            sl = slice(s0, s0 + chunk)
-            state, o = _fused_chunk(
-                state, *consts,
-                *[jnp.asarray(x[sl], dt) for x, dt in zip(xs_np, dtypes)],
-                self.cfg,
-                self.eval_cfg,
-            )
-            outs.append(o)
-        state = jax.device_get(state)
-        outs = jax.device_get(outs)
-        outs = jax.tree.map(lambda *xs: np.concatenate(xs), *outs)
-        outs = jax.tree.map(lambda x: x[:C], outs)
-        return self._replay(state, outs)
+        fp = fc.fingerprint(
+            g.poses, g.edges_ij, g.edges_meas, cand,
+            extra=f"m4|{self.cfg}|{self.eval_cfg}",
+        )
+        state, merged = fc.run_chunked(
+            state, _fused_chunk, consts, xs_np, dtypes, chunk, C,
+            self.cfg, self.eval_cfg,
+            checkpoint_path=self.checkpoint_path, fp=fp,
+        )
+        return self._replay(state, _TreeOut(**merged))
 
     def _replay(self, state, o) -> MctsOutput:
         g = self.graph

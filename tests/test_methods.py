@@ -240,3 +240,60 @@ def test_fused_mcts_matches_host(dirty_circle):
         np.testing.assert_allclose(fl.total_reward, hl.total_reward,
                                    atol=1e-9)
         np.testing.assert_allclose(fl.poses, hl.poses, atol=1e-9)
+
+
+def test_fused_layering_checkpoint_resume(tmp_path, dirty_circle):
+    """A fused method-3 run interrupted mid-scan resumes from the chunk
+    checkpoint and reproduces the uninterrupted result exactly."""
+    graph, _ = dirty_circle
+    from slam_tpu.methods import _fused_common, layering_fused
+    from slam_tpu.methods.layering_fused import FusedLayeringManager
+
+    cfg = LayeringConfig(local_iters=2, max_layers=8, scan_chunk=3)
+    full = FusedLayeringManager(
+        graph, cfg, _SOLVER, RunLogger(echo=False)
+    ).run()
+
+    ckpt = str(tmp_path / "m3.npz")
+    calls = {"n": 0}
+    orig = layering_fused._fused_chunk
+
+    def dying(*a, **k):
+        calls["n"] += 1
+        if calls["n"] > 2:
+            raise RuntimeError("simulated preemption")
+        return orig(*a, **k)
+
+    layering_fused._fused_chunk = dying
+    try:
+        with pytest.raises(RuntimeError):
+            FusedLayeringManager(
+                graph, cfg, _SOLVER, RunLogger(echo=False),
+                checkpoint_path=ckpt,
+            ).run()
+    finally:
+        layering_fused._fused_chunk = orig
+    assert os.path.exists(ckpt)
+
+    calls2 = {"n": 0}
+
+    def counting(*a, **k):
+        calls2["n"] += 1
+        return orig(*a, **k)
+
+    layering_fused._fused_chunk = counting
+    try:
+        resumed = FusedLayeringManager(
+            graph, cfg, _SOLVER, RunLogger(echo=False),
+            checkpoint_path=ckpt,
+        ).run()
+    finally:
+        layering_fused._fused_chunk = orig
+
+    n_chunks = -(-len(FusedLayeringManager(
+        graph, cfg, _SOLVER, RunLogger(echo=False)
+    ).loop_indices) // 3)
+    assert calls2["n"] == n_chunks - 2, "resume skipped completed chunks"
+    assert resumed.assignments == full.assignments
+    assert resumed.best_layer == full.best_layer
+    np.testing.assert_allclose(resumed.poses, full.poses, atol=0)
