@@ -141,6 +141,7 @@ def _fused_chunk(
     odo_mask: Array,        # (E,) float
     closure_mask: Array,    # (E,) float (CLOSURE only, not bogus)
     free_first: FreeMask,
+    part,                   # SchurPartition when solver.linear_solver=="schur", else None
     cand_eidx: Array,       # (C,) int32 canonical edge index per candidate
     cand_ab: Array,         # (C, 2) int32
     cand_meas: Array,       # (C, 3)
@@ -165,7 +166,8 @@ def _fused_chunk(
         def one(poses, active):
             e = edges._replace(active=active)
             return lm_fixed_iters(
-                poses, sw0, e, free_first, solver, max(1, cfg.local_iters)
+                poses, sw0, e, free_first, solver, max(1, cfg.local_iters),
+                partition=part,
             ).cost
 
         def chunk(_, xs):
@@ -263,6 +265,7 @@ def _fused_chunk(
         opt = lm_fixed_iters(
             tgt_poses, sw0, edges._replace(active=edge_active),
             FreeMask(node=free), solver, max(1, cfg.commit_local_iters),
+            partition=part,
         )
         new_tgt = opt.poses
         poses = poses * (1 - oh_target)[:, None, None] + \
@@ -358,6 +361,8 @@ class FusedLayeringManager:
                 linear = "pcg"
             else:
                 linear = "dense" if self.graph.num_nodes <= 2048 else "pcg"
+        if cfg.eval_linear == "schur":
+            linear = "schur"
         extra = {}
         if linear == "pcg":
             extra = dict(pcg_rtol=cfg.eval_pcg_rtol,
@@ -367,7 +372,17 @@ class FusedLayeringManager:
             linear_solver=linear, **extra,
         )
         self.dtype = jnp.dtype(self.eval_cfg.dtype)
-        self.edges = edge_set_from_graph(self.graph, dtype=self.dtype)
+        self.edges = edge_set_from_graph(
+            self.graph, dtype=self.dtype,
+            incidence=True if linear == "schur" else None,
+        )
+        self.partition = None
+        if linear == "schur":
+            from slam_tpu.solver.schur import build_partition
+            self.partition = build_partition(
+                self.graph.edges_ij, self.graph.num_nodes,
+                cfg.eval_schur_blocks, dtype=self.dtype,
+            )
         et = self.graph.edge_type
         self.loop_indices = np.where(et != ODOMETRY_EDGE)[0]
         self.ij = self.graph.edges_ij
@@ -413,6 +428,7 @@ class FusedLayeringManager:
             jnp.asarray(odo, self.dtype),
             jnp.asarray(clos, self.dtype),
             anchor_first_node(g.num_nodes, dtype=self.dtype),
+            self.partition,
         )
         state = _init_state(
             jnp.asarray(g.poses, self.dtype), self.cfg.max_layers,

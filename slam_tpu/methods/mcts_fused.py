@@ -101,6 +101,7 @@ def _fused_chunk(
     odo_mask: Array,        # (E,) float
     closure_mask: Array,    # (E,) float
     free_all: FreeMask,
+    part,                   # SchurPartition when solver.linear_solver=="schur", else None
     cand_eidx: Array,       # (C,)
     cand_ab: Array,         # (C, 2)
     cand_meas: Array,       # (C, 3)
@@ -127,7 +128,8 @@ def _fused_chunk(
 
         def one(active):
             e = edges._replace(active=active)
-            return lm_fixed_iters(poses, sw0, e, free_all, solver, 1).cost
+            return lm_fixed_iters(poses, sw0, e, free_all, solver, 1,
+                                  partition=part).cost
 
         return jax.vmap(one)(actives_b)
 
@@ -232,6 +234,7 @@ def _fused_chunk(
         opt = lm_fixed_iters(
             sel_poses, sw0, edges._replace(active=active_opt),
             FreeMask(node=free_opt), solver, max(1, cfg.local_iters),
+            partition=part,
         )
         poses = s.poses * (1 - upd)[:, None, None] + \
             upd[:, None, None] * opt.poses[None, :, :]
@@ -333,6 +336,8 @@ class FusedMctsManager:
                 linear = "pcg"
             else:
                 linear = "dense" if self.graph.num_nodes <= 2048 else "pcg"
+        if cfg.eval_linear == "schur":
+            linear = "schur"
         extra = {}
         if linear == "pcg":
             extra = dict(pcg_rtol=cfg.eval_pcg_rtol,
@@ -342,7 +347,17 @@ class FusedMctsManager:
             linear_solver=linear, **extra,
         )
         self.dtype = jnp.dtype(self.eval_cfg.dtype)
-        self.edges = edge_set_from_graph(self.graph, dtype=self.dtype)
+        self.edges = edge_set_from_graph(
+            self.graph, dtype=self.dtype,
+            incidence=True if linear == "schur" else None,
+        )
+        self.partition = None
+        if linear == "schur":
+            from slam_tpu.solver.schur import build_partition
+            self.partition = build_partition(
+                self.graph.edges_ij, self.graph.num_nodes,
+                cfg.eval_schur_blocks, dtype=self.dtype,
+            )
         self.E = self.edges.num_edges
         et = self.graph.edge_type
         self.loop_indices = np.where(et != ODOMETRY_EDGE)[0]
@@ -387,6 +402,7 @@ class FusedMctsManager:
             jnp.asarray(odo, self.dtype),
             jnp.asarray(clos, self.dtype),
             anchor_first_node(g.num_nodes, dtype=self.dtype),
+            self.partition,
         )
         state = _init_state(
             jnp.asarray(g.poses, self.dtype), self.cfg.max_layers,

@@ -297,3 +297,25 @@ def test_fused_layering_checkpoint_resume(tmp_path, dirty_circle):
     assert resumed.assignments == full.assignments
     assert resumed.best_layer == full.best_layer
     np.testing.assert_allclose(resumed.poses, full.poses, atol=0)
+
+
+def test_fused_layering_schur_eval_matches_dense(dirty_circle):
+    """eval_linear='schur' (exact partitioned eval solves sharing ONE
+    partition across all masked candidate problems) reproduces the dense
+    engine's decisions on CPU f64."""
+    graph, _ = dirty_circle
+    from slam_tpu.methods.layering_fused import FusedLayeringManager
+
+    dense = FusedLayeringManager(
+        graph, LayeringConfig(local_iters=2, max_layers=8),
+        _SOLVER, RunLogger(echo=False),
+    ).run()
+    schur = FusedLayeringManager(
+        graph,
+        LayeringConfig(local_iters=2, max_layers=8, eval_linear="schur",
+                       eval_schur_blocks=4),
+        _SOLVER, RunLogger(echo=False),
+    ).run()
+    assert schur.assignments == dense.assignments
+    assert schur.best_layer == dense.best_layer
+    np.testing.assert_allclose(schur.poses, dense.poses, atol=1e-6)
