@@ -79,23 +79,90 @@ class SchurPartition(NamedTuple):
         return self.edge_sel.shape[1]
 
 
+def optimize_cut_positions(
+    ij: np.ndarray, n: int, num_blocks: int, slack: float = 0.5
+) -> np.ndarray:
+    """Choose contiguous-block cut positions minimising the number of edges
+    that span a cut (dynamic program; the separator is exactly the nodes
+    incident to cut-spanning edges, so fewer spans => smaller separator
+    system => cheaper C assembly / S reduction / separator Cholesky).
+
+    Block sizes are constrained to ``n/num_blocks * (1 +- slack)`` so the
+    batched interior factorisations stay balanced.  Returns the block id of
+    every node, shape ``(n,)``.
+    """
+    ij = np.asarray(ij)
+    a = np.minimum(ij[:, 0], ij[:, 1])
+    b = np.maximum(ij[:, 0], ij[:, 1])
+    # span[c] = #edges with a < c <= b  (edge crosses a cut at c).
+    diff = np.zeros(n + 1, np.int64)
+    np.add.at(diff, a + 1, 1)
+    np.add.at(diff, b + 1, -1)
+    span = np.cumsum(diff)[:n]  # span[c] valid for c in 1..n-1
+
+    target = n / num_blocks
+    lo = max(1, int(np.floor(target * (1 - slack))))
+    hi = max(lo, int(np.ceil(target * (1 + slack))))
+
+    INF = np.iinfo(np.int64).max // 4
+    # f[k, c] = min cost of placing first k blocks covering nodes [0, c).
+    f = np.full((num_blocks + 1, n + 1), INF, np.int64)
+    prev = np.zeros((num_blocks + 1, n + 1), np.int32)
+    f[0, 0] = 0
+    for k in range(1, num_blocks + 1):
+        for c in range(k * lo, min(k * hi, n) + 1):
+            if k == num_blocks and c != n:
+                continue
+            pmin, pmax = max((k - 1) * lo, c - hi), min((k - 1) * hi, c - lo)
+            if pmax < pmin:
+                continue
+            seg = f[k - 1, pmin : pmax + 1]
+            j = int(np.argmin(seg))
+            best = seg[j]
+            if best >= INF:
+                continue
+            cost = best + (span[c] if c < n else 0)
+            if cost < f[k, c]:
+                f[k, c] = cost
+                prev[k, c] = pmin + j
+    assert f[num_blocks, n] < INF, "no feasible cut placement"
+    cuts = []
+    c = n
+    for k in range(num_blocks, 0, -1):
+        cuts.append(c)
+        c = int(prev[k, c])
+    cuts = cuts[::-1]  # block k covers [cuts[k-1]_prev, cuts[k])
+    node_block = np.zeros(n, np.int64)
+    start = 0
+    for k, end in enumerate(cuts):
+        node_block[start:end] = k
+        start = end
+    return node_block
+
+
 def build_partition(
     ij: np.ndarray,
     n: int,
     num_blocks: int,
     dtype=jnp.float32,
     pad_shapes: tuple[int, int, int] | None = None,
+    optimize_cuts: bool = False,
 ) -> SchurPartition:
     """Contiguous index-range partition with cross-edge separator.
 
     ``pad_shapes=(ni_max, ns, ek_max)`` pads the operators to given maxima
     so partitions of *different* graphs (e.g. per-outlier-seed) share one
     compiled program and can be vmapped/stacked together.
+    ``optimize_cuts`` places the block boundaries with
+    :func:`optimize_cut_positions` instead of equal-size slicing.
     """
     ij = np.asarray(ij)
     E = ij.shape[0]
-    block_size = -(-n // num_blocks)
-    node_block = np.minimum(np.arange(n) // block_size, num_blocks - 1)
+    if optimize_cuts:
+        node_block = optimize_cut_positions(ij, n, num_blocks)
+    else:
+        block_size = -(-n // num_blocks)
+        node_block = np.minimum(np.arange(n) // block_size, num_blocks - 1)
 
     ba = node_block[ij[:, 0]]
     bb = node_block[ij[:, 1]]
@@ -158,18 +225,34 @@ def _mm(a, b):
     return jnp.matmul(a, b, precision=_PREC, preferred_element_type=a.dtype)
 
 
-@jax.jit
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("blocked",))
 def schur_solve(
     system: BlockSystem,
     edges: EdgeSet,
     part: SchurPartition,
     lam: Array,
+    blocked: bool | None = None,
 ) -> Update:
     """Exact damped-normal-equation solve via two-level Schur elimination.
 
     Pose-only (switch slots return 0; SC uses the dense path).  Requires the
-    EdgeSet to carry incidence matrices.
+    EdgeSet to carry incidence matrices.  ``blocked`` selects the
+    panel-blocked MXU Cholesky/solves (``blocked_chol.py``) instead of
+    XLA's native ops; exact either way (see default note below).
     """
+    # Measured on INTEL+50 batch 8 (results/README.md): the panel-blocked
+    # path is 5-10% SLOWER in-context than XLA's native cho_factor /
+    # TriangularSolve here (XLA overlaps the natives with surrounding work;
+    # standalone microbenches over-attribute their cost), so native stays
+    # the default on every backend.  The blocked path remains available and
+    # exactness-tested for larger interior blocks.
+    if blocked is None:
+        blocked = False
+    _panel = 16
+    _sep_blocked = blocked
     assert edges.inc_a is not None, "schur solver needs incidence matrices"
     E, R, D = system.Ja.shape
     n = system.Hdiag.shape[0]
@@ -248,22 +331,35 @@ def schur_solve(
     )
 
     # ---- eliminate interiors, reduce separator -------------------------
-    chol = jax.vmap(lambda A: jax.scipy.linalg.cho_factor(A, lower=True)[0])(
-        A_b
-    )
-    solve = jax.vmap(
-        lambda L, B: jax.scipy.linalg.cho_solve((L, True), B)
-    )
-    Y = solve(chol, F_b)                   # (P, D*ni, D*ns) = A^-1 F
-    y = solve(chol, b_b[..., None])[..., 0]  # (P, D*ni)
+    if blocked:
+        from slam_tpu.solver import blocked_chol as bc
+        fac = bc.blocked_cholesky(A_b, panel=_panel)
+        # One combined solve for [F | b]: the extra column rides along.
+        Fb_ext = jnp.concatenate([F_b, b_b[..., None]], axis=-1)
+        Yext = bc.cho_solve_blocked(fac, Fb_ext)
+        Y, y = Yext[..., :-1], Yext[..., -1]
+    else:
+        chol = jax.vmap(
+            lambda A: jax.scipy.linalg.cho_factor(A, lower=True)[0]
+        )(A_b)
+        solve = jax.vmap(
+            lambda L, B: jax.scipy.linalg.cho_solve((L, True), B)
+        )
+        Y = solve(chol, F_b)                   # (P, D*ni, D*ns) = A^-1 F
+        y = solve(chol, b_b[..., None])[..., 0]  # (P, D*ni)
 
     # The separator reduction: in the distributed variant this contraction
     # is a psum over the block/device axis.
     S = C - jnp.einsum("pij,pik->jk", F_b, Y, precision=_PREC)
     rhs_s = b_sep - jnp.einsum("pij,pi->j", F_b, y, precision=_PREC)
 
-    Ls = jax.scipy.linalg.cho_factor(S, lower=True)
-    x_sep = jax.scipy.linalg.cho_solve(Ls, rhs_s)      # (D*ns,)
+    if _sep_blocked:
+        from slam_tpu.solver import blocked_chol as bc
+        sfac = bc.blocked_cholesky(S, panel=_panel)
+        x_sep = bc.cho_solve_blocked(sfac, rhs_s)      # (D*ns,)
+    else:
+        Ls = jax.scipy.linalg.cho_factor(S, lower=True)
+        x_sep = jax.scipy.linalg.cho_solve(Ls, rhs_s)  # (D*ns,)
 
     x_int = y - jnp.einsum("pij,j->pi", Y, x_sep, precision=_PREC)
 

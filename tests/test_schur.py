@@ -57,3 +57,81 @@ def test_schur_matches_dense(problem, nblocks):
     np.testing.assert_allclose(
         np.asarray(res_s.poses), np.asarray(res_d.poses), atol=1e-9
     )
+
+
+def test_blocked_cholesky_matches_scipy():
+    """Panel-blocked Cholesky/solves (the TPU path inside schur_solve)
+    reproduce LAPACK to machine precision, including padded sizes and both
+    vector and matrix right-hand sides."""
+    from slam_tpu.solver import blocked_chol as bc
+
+    rng = np.random.default_rng(0)
+    for n, p, batch in [(7, 4, (3,)), (50, 16, (6,)), (33, 8, ())]:
+        A = rng.normal(size=batch + (n, n))
+        A = A @ np.swapaxes(A, -1, -2) + n * np.eye(n)
+        fac = bc.blocked_cholesky(jnp.asarray(A), panel=p)
+        np.testing.assert_allclose(
+            np.asarray(fac.L)[..., :n, :n], np.linalg.cholesky(A), atol=1e-12
+        )
+        B = rng.normal(size=batch + (n, 5))
+        np.testing.assert_allclose(
+            np.asarray(bc.cho_solve_blocked(fac, jnp.asarray(B))),
+            np.linalg.solve(A, B), atol=1e-12,
+        )
+        b = rng.normal(size=batch + (n,))
+        np.testing.assert_allclose(
+            np.asarray(bc.cho_solve_blocked(fac, jnp.asarray(b))),
+            np.linalg.solve(A, b[..., None])[..., 0], atol=1e-12,
+        )
+
+
+def test_schur_blocked_matches_native(problem):
+    """schur_solve(blocked=True) == schur_solve(blocked=False) == dense."""
+    from slam_tpu.solver.schur import schur_solve
+    from slam_tpu.solver.linearize import linearize
+    from slam_tpu.solver.models import SE2Model
+
+    graph, edges, free, poses0, sw0 = problem
+    part = build_partition(graph.edges_ij, graph.num_nodes, 4,
+                           dtype=jnp.float64)
+    system = linearize(poses0, sw0, edges, free, model=SE2Model,
+                       robust="dcs", dcs_phi=0.5, huber_delta=0.01,
+                       sc_prior_lambda=1.0)
+    lam = jnp.asarray(1e-4, jnp.float64)
+    up_n = schur_solve(system, edges, part, lam, blocked=False)
+    up_b = schur_solve(system, edges, part, lam, blocked=True)
+    np.testing.assert_allclose(
+        np.asarray(up_b.poses), np.asarray(up_n.poses), atol=1e-11
+    )
+
+
+def test_optimized_cuts_partition_valid(problem):
+    """optimize_cuts keeps all partition invariants and never increases the
+    number of cut-spanning edges vs uniform slicing."""
+    from slam_tpu.solver.schur import optimize_cut_positions
+
+    graph, edges, free, poses0, sw0 = problem
+    n, ij = graph.num_nodes, graph.edges_ij
+    nb = optimize_cut_positions(ij, n, 4)
+    assert nb.shape == (n,)
+    assert nb.min() == 0 and nb.max() == 3
+    assert np.all(np.diff(nb) >= 0), "blocks are contiguous"
+
+    def cross(nbk):
+        return int(np.sum(nbk[ij[:, 0]] != nbk[ij[:, 1]]))
+
+    uniform = np.minimum(np.arange(n) // (-(-n // 4)), 3)
+    assert cross(nb) <= cross(uniform)
+
+    part = build_partition(ij, n, 4, dtype=jnp.float64, optimize_cuts=True)
+    node_cover = (np.asarray(part.int_sel).sum(axis=(0, 1))
+                  + np.asarray(part.sep_sel).sum(axis=0))
+    np.testing.assert_allclose(node_cover, 1.0)
+
+    cfg = SolverConfig(robust="dcs", linear_solver="schur", dtype="float64")
+    res = lm_solve(poses0, sw0, edges, free, cfg, partition=part)
+    cfg_d = cfg.replace(linear_solver="dense")
+    res_d = lm_solve(poses0, sw0, edges, free, cfg_d)
+    np.testing.assert_allclose(
+        np.asarray(res.poses), np.asarray(res_d.poses), atol=1e-9
+    )
