@@ -69,7 +69,15 @@ def run_global_solve(
     # Bucket-pad the edge count so sweeps over outlier counts (E changes by
     # a few dozen) reuse one compiled program; inactive padding is free.
     pad_to = -(-canon.num_edges // 256) * 256
-    edges = edge_set_from_graph(canon, dtype=dtype, pad_to=pad_to)
+    # PCG's matvec bandwidth is dominated by the incidence operators;
+    # chain compression (see EdgeSet) slices the odometry prefix for free.
+    # dense/schur consume full incidence directly.
+    import jax as _jax
+    inc = ("chain"
+           if scfg.linear_solver == "pcg" and _jax.default_backend() != "cpu"
+           else None)
+    edges = edge_set_from_graph(canon, dtype=dtype, pad_to=pad_to,
+                                incidence=inc)
     free = anchor_first_node(canon.num_nodes, dtype=dtype)
     poses0 = jnp.asarray(canon.poses, dtype)
     # Switch variables initialised to 1.0 (``main.cpp:117``).

@@ -347,9 +347,17 @@ class FusedMctsManager:
             linear_solver=linear, **extra,
         )
         self.dtype = jnp.dtype(self.eval_cfg.dtype)
+        # PCG eval solves are incidence-bandwidth-bound: use the
+        # chain-compressed representation on accelerators (see EdgeSet);
+        # schur needs full incidence.
+        if linear == "schur":
+            inc = True
+        elif jax.default_backend() != "cpu":
+            inc = "chain"
+        else:
+            inc = None
         self.edges = edge_set_from_graph(
-            self.graph, dtype=self.dtype,
-            incidence=True if linear == "schur" else None,
+            self.graph, dtype=self.dtype, incidence=inc,
         )
         self.partition = None
         if linear == "schur":

@@ -212,8 +212,13 @@ def dense_solve(
     system is extended by one scalar column/row per edge (frozen rows solve
     to 0 harmlessly).
     """
-    if edges.inc_a is not None:
+    if edges.inc_a is not None and edges.inc_a.shape[0] == edges.num_edges:
         return _dense_solve_matmul(system, edges, lam, include_switches)
+    if edges.inc_a is not None:
+        raise ValueError(
+            "dense solver needs FULL incidence; chain-compressed EdgeSets "
+            "are for the matvec/linearize paths (incidence=True)"
+        )
     return _dense_solve_scatter(system, edges, lam, include_switches)
 
 

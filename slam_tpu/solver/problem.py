@@ -27,10 +27,21 @@ from slam_tpu.graph import ODOMETRY_EDGE, PoseGraph
 class EdgeSet(NamedTuple):
     """Static-shape edge arrays living on device.
 
-    ``inc_a``/``inc_b`` are optional one-hot incidence matrices ``(E, N)``
-    (see ``slam_tpu/ops/indexing.py``).  When present, every gather/scatter
-    in the solve routes through MXU matmuls -- the TPU-native path.  When
-    ``None``, XLA gather/segment_sum is used (fine on CPU).
+    ``inc_a``/``inc_b`` are optional one-hot incidence matrices
+    (see ``slam_tpu/ops/indexing.py``).  When present, gathers/scatters
+    route through MXU matmuls -- the TPU-native path.  When ``None``, XLA
+    gather/segment_sum is used (fine on CPU).
+
+    **Chain compression**: if the incidence matrices have FEWER rows than
+    edges (``k = E - inc.shape[0] > 0``), the first ``k`` rows are an
+    implicit odometry chain ``(i, i+1)`` and their gathers/scatters are
+    static slices/pads -- zero HBM traffic for the chain, incidence
+    matmuls only for the loop tail.  On M10000 the full one-hot operators
+    are ~265 MB each (bf16) and every PCG matvec reads them; the chain
+    covers ~76% of the edges for free.  Built by
+    ``edge_set_from_graph(incidence="chain")`` when the canonical edge
+    order starts with the dense chain.  The dense/Schur solvers require
+    FULL incidence (they consume ``inc_a`` directly).
     """
 
     ij: jnp.ndarray        # (E, 2) int32 endpoints
@@ -47,16 +58,27 @@ class EdgeSet(NamedTuple):
 
     def _gather(self, x: jnp.ndarray, inc, col: int) -> jnp.ndarray:
         from slam_tpu.ops import indexing
-        if inc is not None:
+        if inc is None:
+            return x[self.ij[:, col]]
+        k = self.num_edges - inc.shape[0]
+        if k == 0:
             return indexing.gather(inc, x)
-        return x[self.ij[:, col]]
+        # Chain head: row i has endpoints (i, i+1) -> pure static slices.
+        head = x[:k] if col == 0 else x[1 : k + 1]
+        return jnp.concatenate([head, indexing.gather(inc, x)], axis=0)
 
     def _scatter(self, v: jnp.ndarray, n: int, inc, col: int) -> jnp.ndarray:
         import jax
         from slam_tpu.ops import indexing
-        if inc is not None:
+        if inc is None:
+            return jax.ops.segment_sum(v, self.ij[:, col], num_segments=n)
+        k = self.num_edges - inc.shape[0]
+        if k == 0:
             return indexing.scatter_add(inc, v)
-        return jax.ops.segment_sum(v, self.ij[:, col], num_segments=n)
+        tail = indexing.scatter_add(inc, v[k:])
+        widths = ((0, n - k),) if col == 0 else ((1, n - k - 1),)
+        head = jnp.pad(v[:k], widths + ((0, 0),) * (v.ndim - 1))
+        return tail + head
 
     def gather_a(self, x: jnp.ndarray) -> jnp.ndarray:
         """``x[a]`` -- incidence matmul / Pallas index kernel / XLA gather."""
@@ -124,12 +146,22 @@ def edge_set_from_graph(
     if incidence:
         from slam_tpu.ops import indexing
         n = g.num_nodes
+        start = 0
+        if incidence == "chain":
+            # Detect the dense odometry-chain prefix (canonical order puts
+            # the chain first in every shipped dataset): rows 0..n-2 with
+            # endpoints exactly (i, i+1) become implicit slices; incidence
+            # operators cover only the remaining rows (see EdgeSet).
+            k = n - 1
+            chain = np.stack([np.arange(k), np.arange(1, k + 1)], axis=1)
+            if ij.shape[0] >= k and np.array_equal(ij[:k], chain):
+                start = k
         if n <= 4096:
-            inc_a = indexing.build_incidence(ij[:, 0], n, dtype)
-            inc_b = indexing.build_incidence(ij[:, 1], n, dtype)
+            inc_a = indexing.build_incidence(ij[start:, 0], n, dtype)
+            inc_b = indexing.build_incidence(ij[start:, 1], n, dtype)
         else:
-            inc_a = indexing.build_incidence_device(ij[:, 0], n)
-            inc_b = indexing.build_incidence_device(ij[:, 1], n)
+            inc_a = indexing.build_incidence_device(ij[start:, 0], n)
+            inc_b = indexing.build_incidence_device(ij[start:, 1], n)
 
     return EdgeSet(
         ij=jnp.asarray(ij, jnp.int32),

@@ -254,6 +254,10 @@ def schur_solve(
     _panel = 16
     _sep_blocked = blocked
     assert edges.inc_a is not None, "schur solver needs incidence matrices"
+    assert edges.inc_a.shape[0] == edges.num_edges, (
+        "schur solver needs FULL incidence (chain-compressed EdgeSets are "
+        "for the matvec/linearize paths; build with incidence=True)"
+    )
     E, R, D = system.Ja.shape
     n = system.Hdiag.shape[0]
     dtype = system.Ja.dtype

@@ -52,22 +52,10 @@ def extract_tridiag(
     Hoff_flat = system.Hoff.reshape(E, -1)
     HoffT_flat = jnp.swapaxes(system.Hoff, -1, -2).reshape(E, -1)
 
-    if edges.inc_a is not None:
-        U = jnp.matmul(
-            (edges.inc_a * fwd[:, None]).T, Hoff_flat,
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=Hd.dtype,
-        )
-        U = U + jnp.matmul(
-            (edges.inc_b * rev[:, None]).T, HoffT_flat,
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=Hd.dtype,
-        )
-    else:
-        U = jax.ops.segment_sum(fwd[:, None] * Hoff_flat, a, num_segments=n)
-        U = U + jax.ops.segment_sum(
-            rev[:, None] * HoffT_flat, b, num_segments=n
-        )
+    # scatter_a/scatter_b pick the right tier (index ops, full incidence,
+    # or chain-compressed slices) per the EdgeSet's representation.
+    U = edges.scatter_a(fwd[:, None] * Hoff_flat, n)
+    U = U + edges.scatter_b(rev[:, None] * HoffT_flat, n)
     B = Hd.shape[-1]
     return Hd, U.reshape(n, B, B)[: n - 1]
 

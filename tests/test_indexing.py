@@ -76,3 +76,65 @@ def test_bf16_device_incidence_exact(rng):
     np.testing.assert_allclose(
         np.asarray(indexing.scatter_add(inc, v)), np.asarray(ref), atol=1e-12
     )
+
+
+def test_chain_compressed_gather_scatter_match_full():
+    """incidence="chain" (implicit (i,i+1) head + incidence tail) produces
+    identical gathers/scatters to full incidence and to native indexing."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from slam_tpu.io import synthetic
+    from slam_tpu.solver.problem import edge_set_from_graph
+
+    graph, _ = synthetic.circle_se2(n=40, seed=3)
+    graph = graph.add_random_outliers(5, seed=4)
+    full = edge_set_from_graph(graph, dtype=jnp.float64, incidence=True)
+    chain = edge_set_from_graph(graph, dtype=jnp.float64, incidence="chain")
+    native = edge_set_from_graph(graph, dtype=jnp.float64, incidence=False)
+    assert chain.inc_a.shape[0] == full.inc_a.shape[0] - (graph.num_nodes - 1)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(graph.num_nodes, 3)))
+    v = jnp.asarray(rng.normal(size=(full.num_edges, 3)))
+    n = graph.num_nodes
+    for name in ("gather_a", "gather_b"):
+        ref = np.asarray(getattr(native, name)(x))
+        np.testing.assert_allclose(np.asarray(getattr(full, name)(x)), ref,
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(getattr(chain, name)(x)), ref,
+                                   atol=1e-12)
+    for name in ("scatter_a", "scatter_b"):
+        ref = np.asarray(getattr(native, name)(v, n))
+        np.testing.assert_allclose(np.asarray(getattr(full, name)(v, n)),
+                                   ref, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(getattr(chain, name)(v, n)),
+                                   ref, atol=1e-12)
+
+
+def test_chain_compressed_solve_matches_full():
+    """Full PCG LM solve with chain-compressed incidence == index ops."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from slam_tpu.config import SolverConfig
+    from slam_tpu.io import synthetic
+    from slam_tpu.solver.lm import lm_solve
+    from slam_tpu.solver.problem import (
+        anchor_first_node,
+        edge_set_from_graph,
+    )
+
+    graph, _ = synthetic.circle_se2(n=48, seed=5)
+    graph = graph.add_random_outliers(4, seed=6)
+    cfg = SolverConfig(robust="dcs", linear_solver="pcg", dtype="float64",
+                       use_pallas="off")
+    free = anchor_first_node(graph.num_nodes, dtype=jnp.float64)
+    poses0 = jnp.asarray(graph.canonical_order().poses)
+    outs = []
+    for inc in (False, "chain"):
+        edges = edge_set_from_graph(graph, dtype=jnp.float64, incidence=inc)
+        sw0 = jnp.ones((edges.num_edges,), jnp.float64)
+        outs.append(lm_solve(poses0, sw0, edges, free, cfg))
+    np.testing.assert_allclose(np.asarray(outs[1].poses),
+                               np.asarray(outs[0].poses), atol=1e-10)
