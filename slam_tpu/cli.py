@@ -70,6 +70,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fused", default="auto", choices=["auto", "on", "off"],
                    help="methods 3/4 engine: fused single-program lax.scan "
                         "vs host-driven loop (auto: fused on accelerators)")
+    p.add_argument("--scan-chunk", type=int, default=None,
+                   help="fused methods 3/4: candidates per device call "
+                        "(default 64; lower for very large graphs so a "
+                        "chunk stays under the backend's ~1 min execution "
+                        "deadline)")
     return p
 
 
@@ -95,8 +100,10 @@ def config_from_args(args) -> RunConfig:
         seed=args.seed,
         save_path=args.save_path,
         solver=solver,
-        layering=LayeringConfig(),
-        mcts=MctsConfig(),
+        layering=LayeringConfig(**(
+            {"scan_chunk": args.scan_chunk} if args.scan_chunk else {})),
+        mcts=MctsConfig(**(
+            {"scan_chunk": args.scan_chunk} if args.scan_chunk else {})),
     )
 
 
@@ -177,10 +184,7 @@ def _run_checkpointed(cfg, ckpt_path):
 
     from slam_tpu.config import solver_config_for_method
     from slam_tpu.io import g2o as g2o_io
-    from slam_tpu.methods.global_solve import (
-        GlobalSolveOutput,
-        pick_linear_solver,
-    )
+    from slam_tpu.methods.global_solve import GlobalSolveOutput
     from slam_tpu.solver.problem import anchor_first_node, edge_set_from_graph
     from slam_tpu.utils.checkpoint import CheckpointingSolver
     from slam_tpu.utils.logging import RunLogger

@@ -31,7 +31,6 @@ the assignment target, which is when the host invalidates the cache).
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import NamedTuple
 
