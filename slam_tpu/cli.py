@@ -52,8 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference's Huber-wrapped joint SC cannot")
     p.add_argument("--max-iterations", type=int, default=50)
     p.add_argument("--linear-solver", default="auto",
-                   choices=["auto", "dense", "pcg", "schur"],
-                   help="auto: dense below ~2k nodes, schur above")
+                   choices=["auto", "dense", "pcg", "schur", "woodbury"],
+                   help="auto: dense below ~2k nodes, schur above; "
+                        "woodbury: exact chain+low-rank solver for "
+                        "closure-sparse graphs")
     p.add_argument("--dtype", default=None, choices=[None, "float32", "float64"],
                    help="default: float32 on TPU, float64 on CPU")
     p.add_argument("--plot", action="store_true", help="write trajectory PNG")
@@ -198,7 +200,7 @@ def _run_checkpointed(cfg, ckpt_path):
     g2o_io.write_edges(os.path.join(cfg.save_path, "init_edges.txt"), graph)
 
     scfg = solver_config_for_method(cfg.method, cfg.solver)
-    if scfg.linear_solver in ("auto", "schur"):
+    if scfg.linear_solver in ("auto", "schur", "woodbury"):
         # The chunked driver re-enters lm_fixed_iters; keep the solver
         # partition-free for simplicity.
         scfg = scfg.replace(

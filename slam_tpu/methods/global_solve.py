@@ -74,7 +74,8 @@ def run_global_solve(
     # dense/schur consume full incidence directly.
     import jax as _jax
     inc = ("chain"
-           if scfg.linear_solver == "pcg" and _jax.default_backend() != "cpu"
+           if scfg.linear_solver in ("pcg", "woodbury")
+           and _jax.default_backend() != "cpu"
            else None)
     edges = edge_set_from_graph(canon, dtype=dtype, pad_to=pad_to,
                                 incidence=inc)
@@ -84,6 +85,13 @@ def run_global_solve(
     switches0 = jnp.ones((edges.num_edges,), dtype)
 
     partition = None
+    if scfg.linear_solver == "woodbury":
+        from slam_tpu.solver.woodbury import build_woodbury_ops
+
+        partition = build_woodbury_ops(
+            np.asarray(edges.ij), canon.num_nodes, dtype=dtype
+        )
+        logger.log("woodbury", lowrank_edges=partition.num_lowrank)
     if scfg.linear_solver == "schur":
         from slam_tpu.solver.schur import build_partition
 

@@ -91,6 +91,20 @@ def _solve_linear(system, edges, lam, cfg: SolverConfig, partition=None):
         if partition is None:
             raise ValueError("linear_solver='schur' requires a partition")
         return schur.schur_solve(system, edges, partition, lam), jnp.int32(0)
+    elif cfg.linear_solver == "woodbury":
+        from slam_tpu.solver import woodbury
+        if partition is None:
+            raise ValueError(
+                "linear_solver='woodbury' requires WoodburyOps (pass as "
+                "partition)")
+        if cfg.robust == "sc":
+            raise ValueError(
+                "woodbury does not carry switch unknowns; use dense/pcg "
+                "for joint SC (or robust='sc_varpro')")
+        return (
+            woodbury.woodbury_solve(system, edges, partition, lam),
+            jnp.int32(0),
+        )
     raise ValueError(f"unknown linear solver {cfg.linear_solver!r}")
 
 

@@ -60,16 +60,26 @@ def extract_tridiag(
     return Hd, U.reshape(n, B, B)[: n - 1]
 
 
+# HIGHEST is pinned on every contraction here: the factors serve not only
+# the PCG preconditioner (where error only slows convergence) but also the
+# Woodbury direct solver (where chain-solve error lands in the answer).
+_PREC = jax.lax.Precision.HIGHEST
+
+
 def _bmm(x, y):
-    return jnp.einsum("nij,njk->nik", x, y)
+    return jnp.einsum("nij,njk->nik", x, y, precision=_PREC)
 
 
 def _bmv(m, v):
-    return jnp.einsum("nij,nj->ni", m, v)
+    return jnp.einsum("nij,nj->ni", m, v, precision=_PREC)
 
 
 def _bmv_t(m, v):
-    return jnp.einsum("nji,nj->ni", m, v)
+    return jnp.einsum("nji,nj->ni", m, v, precision=_PREC)
+
+
+def _bmm_t(m, v):
+    return jnp.einsum("nji,njk->nik", m, v, precision=_PREC)
 
 
 def build_cr_factors(D: Array, U: Array):
@@ -155,5 +165,47 @@ def cr_solve(factors, r: Array) -> Array:
         rhs = r_odd - _bmv_t(U_left, z_even) - _bmv(U_right, z_next)
         z_odd = _bmv(Dinv_odd, rhs)
         z = jnp.stack([z_even, z_odd], axis=1).reshape(2 * t, B)
+
+    return z[:n]
+
+
+def cr_solve_mrhs(factors, r: Array) -> Array:
+    """Solve the block-tridiagonal system for ``K`` right-hand sides at once:
+    ``r (N, B, K)`` -> ``(N, B, K)``.
+
+    Identical recursion to :func:`cr_solve` but every block-vector product
+    becomes a batched ``(B,B) @ (B,K)`` matmul -- with K in the hundreds
+    (the Woodbury solver's whitened closure columns) these land on the MXU
+    instead of the VPU, which is what makes one multi-RHS chain solve far
+    cheaper than K sequential ones.
+    """
+    levels, root_inv, m, n = factors
+    _, B, K = r.shape
+    r = jnp.concatenate([r, jnp.zeros((m - n, B, K), r.dtype)], axis=0)
+
+    odd_rhs = []
+    for Dinv_odd, U_left, U_right in levels:
+        r_even, r_odd = r[0::2], r[1::2]
+        zp = _bmm(Dinv_odd, r_odd)
+        right_term = _bmm(U_left, zp)
+        left_term = jnp.concatenate(
+            [jnp.zeros((1, B, K), r.dtype), _bmm_t(U_right, zp)[:-1]], axis=0
+        )
+        odd_rhs.append(r_odd)
+        r = r_even - right_term - left_term
+
+    z = _bmm(root_inv, r)
+
+    for (Dinv_odd, U_left, U_right), r_odd in zip(
+        reversed(levels), reversed(odd_rhs)
+    ):
+        t = r_odd.shape[0]
+        z_even = z
+        z_next = jnp.concatenate(
+            [z_even[1:], jnp.zeros((1, B, K), z.dtype)], axis=0
+        )
+        rhs = r_odd - _bmm_t(U_left, z_even) - _bmm(U_right, z_next)
+        z_odd = _bmm(Dinv_odd, rhs)
+        z = jnp.stack([z_even, z_odd], axis=1).reshape(2 * t, B, K)
 
     return z[:n]
