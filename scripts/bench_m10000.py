@@ -1,0 +1,97 @@
+"""M10000-scale solver comparison on the real chip.
+
+Runs the synthetic M10000 graph (10k nodes, 13.1k edges, ~3.1k closures)
+with 50 injected outliers through DCS LM with the requested linear solver:
+
+    python scripts/bench_m10000.py schur:8 schur:16 pcg:0
+
+``schur:P`` = partitioned-Schur exact solve with P map blocks;
+``pcg:0``   = tridiag-CR-preconditioned PCG (the previous scale champion,
+results/README.md "Scale notes": 6.47 LM it/s chain-compressed).
+
+Timing discipline matches bench.py (perturbed inputs per rep +
+device_get barrier).  Single problem (no batch): at this scale one
+problem saturates the chip.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+LM_ITERS = 30
+
+
+def run(spec: str) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from slam_tpu.config import SolverConfig
+    from slam_tpu.io import g2o
+    from slam_tpu.solver.lm import lm_fixed_iters
+    from slam_tpu.solver.problem import anchor_first_node, edge_set_from_graph
+    from slam_tpu.solver.schur import build_partition
+
+    kind, blocks = spec.split(":")
+    blocks = int(blocks)
+
+    graph = g2o.load_g2o("data/M10000.g2o")
+    dirty = graph.add_random_outliers(50, seed=0).canonical_order()
+    # Schur assembles per-block gathers from the FULL incidence operators;
+    # the matvec-only PCG path can use the chain-compressed form.
+    edges = edge_set_from_graph(
+        dirty, dtype=jnp.float32,
+        incidence=True if kind == "schur" else "chain")
+    free = anchor_first_node(dirty.num_nodes, dtype=jnp.float32)
+    poses0 = jnp.asarray(dirty.poses, jnp.float32)
+    sw0 = jnp.ones((edges.num_edges,), jnp.float32)
+
+    partition = None
+    if kind == "schur":
+        cfg = SolverConfig(robust="dcs", linear_solver="schur",
+                           dtype="float32")
+        partition = build_partition(dirty.edges_ij, dirty.num_nodes, blocks,
+                                    dtype=jnp.float32)
+    else:
+        cfg = SolverConfig(robust="dcs", linear_solver="pcg", dtype="float32",
+                           pcg_rtol=1e-3, pcg_max_iters=100,
+                           pcg_preconditioner="tridiag")
+
+    @jax.jit
+    def solve(p):
+        r = lm_fixed_iters(p, sw0, edges, free, cfg, LM_ITERS,
+                           partition=partition)
+        return r.cost, r.initial_cost
+
+    t0 = time.perf_counter()
+    cost, cost0 = (float(x) for x in jax.device_get(solve(poses0)))
+    compile_s = time.perf_counter() - t0
+
+    rng = np.random.default_rng(1)
+    best = float("inf")
+    for _ in range(3):
+        p = poses0 + jnp.asarray(
+            rng.normal(0, 1e-6, poses0.shape), jnp.float32
+        )
+        t0 = time.perf_counter()
+        out = solve(p)
+        _ = jax.device_get(out)
+        best = min(best, time.perf_counter() - t0)
+    return dict(spec=spec, cost0=round(cost0, 4), cost=round(cost, 4),
+                compile_or_first_s=round(compile_s, 1),
+                iters_s=round(LM_ITERS / best, 2))
+
+
+def main():
+    from slam_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+    for spec in sys.argv[1:]:
+        print(run(spec), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -83,6 +83,34 @@ def test_sphere_solve_converges():
     np.testing.assert_allclose(qn, 1.0, atol=1e-9)
 
 
+def test_sphere_schur_matches_dense():
+    """Partitioned-Schur solve is exact on SE(3) too (D=6 tangent blocks):
+    same LM trajectory as the dense solver on a sphere graph."""
+    from slam_tpu.solver.schur import build_partition
+
+    graph, _ = synthetic.sphere_se3(n=120, rings=8, seed=0)
+    g = graph.canonical_order()
+    dtype = jnp.float64
+    edges = edge_set_from_graph(g, dtype=dtype, incidence=True)
+    free = anchor_first_node(g.num_nodes, dtype=dtype)
+    poses0 = jnp.asarray(g.poses, dtype)
+    sw0 = jnp.ones((edges.num_edges,), dtype)
+    part = build_partition(g.edges_ij, g.num_nodes, 4, dtype=jnp.float64)
+    cfg_d = SolverConfig(robust="dcs", linear_solver="dense",
+                         dtype="float64", max_iterations=10)
+    res_d = lm_solve(poses0, sw0, edges, free, cfg_d, model=SE3Model)
+    res_s = lm_solve(poses0, sw0, edges, free,
+                     cfg_d.replace(linear_solver="schur"),
+                     model=SE3Model, partition=part)
+    assert int(res_d.iterations) == int(res_s.iterations)
+    np.testing.assert_allclose(
+        float(res_s.cost), float(res_d.cost), rtol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_s.poses), np.asarray(res_d.poses), atol=1e-7
+    )
+
+
 def test_sphere_with_outliers_dcs():
     graph, gt = synthetic.sphere_se3(n=200, rings=10, seed=0)
     # Inject SE(3) outliers by corrupting a few closure measurements.
