@@ -57,18 +57,38 @@ def run(spec: str) -> dict:
         partition = build_partition(dirty.edges_ij, dirty.num_nodes, blocks,
                                     dtype=jnp.float32)
     else:
+        # ``pcg:N`` caps the inner CG at N iterations (0 -> 100).  On this
+        # outlier-heavy graph the chain preconditioner models closures only
+        # diagonally, so CG hits whatever cap it is given; throughput is a
+        # direct function of the cap and "LM it/s" must be read together
+        # with the reached cost.
         cfg = SolverConfig(robust="dcs", linear_solver="pcg", dtype="float32",
-                           pcg_rtol=1e-3, pcg_max_iters=100,
+                           pcg_rtol=1e-3, pcg_max_iters=blocks or 100,
                            pcg_preconditioner="tridiag")
 
+    # Pass the large arrays (incidence operators, partition selectors) as
+    # ARGUMENTS: closed-over device arrays are baked into the HLO as
+    # constants, and at this scale the program blows the axon
+    # remote-compile request limit (HTTP 413).  Chunked driving (3 x 10
+    # iters, poses threaded through the host) keeps each device call under
+    # the axon worker's ~1-minute single-execution kill.
+    CHUNK = 10
+
     @jax.jit
-    def solve(p):
-        r = lm_fixed_iters(p, sw0, edges, free, cfg, LM_ITERS,
-                           partition=partition)
-        return r.cost, r.initial_cost
+    def solve(p, s, e, part):
+        r = lm_fixed_iters(p, s, e, free, cfg, CHUNK, partition=part)
+        return r.poses, r.switches, r.cost, r.initial_cost
+
+    def full(p):
+        s = sw0
+        cost0 = None
+        for _ in range(LM_ITERS // CHUNK):
+            p, s, cost, c0 = solve(p, s, edges, partition)
+            cost0 = float(c0) if cost0 is None else cost0
+        return float(jax.device_get(cost)), cost0
 
     t0 = time.perf_counter()
-    cost, cost0 = (float(x) for x in jax.device_get(solve(poses0)))
+    cost, cost0 = full(poses0)
     compile_s = time.perf_counter() - t0
 
     rng = np.random.default_rng(1)
@@ -78,8 +98,7 @@ def run(spec: str) -> dict:
             rng.normal(0, 1e-6, poses0.shape), jnp.float32
         )
         t0 = time.perf_counter()
-        out = solve(p)
-        _ = jax.device_get(out)
+        full(p)
         best = min(best, time.perf_counter() - t0)
     return dict(spec=spec, cost0=round(cost0, 4), cost=round(cost, 4),
                 compile_or_first_s=round(compile_s, 1),

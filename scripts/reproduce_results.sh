@@ -11,6 +11,12 @@ python scripts/generate_datasets.py
 echo "== headline bench (results/README.md throughput table)"
 python bench.py
 
+echo "== scale/solver comparisons (results/README.md scale notes)"
+python scripts/bench_m10000.py schur:8 pcg:16        # M10000 solver A/B
+python scripts/bench_pcg.py                          # INTEL+50 PCG vs Schur
+XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+  python scripts/dist_scale_check.py 5               # distributed Schur @ M3500
+
 echo "== INTEL robustness grid (results/intel_sweep_r1.md)"
 python -m slam_tpu.cli INTEL 100 1 --sweep --save-path save/intel_sweep
 

@@ -77,6 +77,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "(default 64; lower for very large graphs so a "
                         "chunk stays under the backend's ~1 min execution "
                         "deadline)")
+    p.add_argument("--eval-linear", default=None,
+                   choices=[None, "auto", "schur"],
+                   help="fused methods 3/4: candidate-evaluation solver "
+                        "(auto: loose PCG, the analog of the reference's "
+                        "1-2 inexact inner Ceres iterations; schur: exact)")
+    p.add_argument("--eval-pcg-iters", type=int, default=None,
+                   help="fused methods 3/4: CG cap of the PCG candidate "
+                        "evaluations (default 64; lower is faster and "
+                        "still in the spirit of the reference's inexact "
+                        "inner solves)")
+    p.add_argument("--eval-pcg-rtol", type=float, default=None,
+                   help="fused methods 3/4: relative tolerance of the PCG "
+                        "candidate evaluations (default 1e-3)")
     return p
 
 
@@ -102,11 +115,23 @@ def config_from_args(args) -> RunConfig:
         seed=args.seed,
         save_path=args.save_path,
         solver=solver,
-        layering=LayeringConfig(**(
-            {"scan_chunk": args.scan_chunk} if args.scan_chunk else {})),
-        mcts=MctsConfig(**(
-            {"scan_chunk": args.scan_chunk} if args.scan_chunk else {})),
+        layering=LayeringConfig(**_fused_overrides(args)),
+        mcts=MctsConfig(**_fused_overrides(args)),
     )
+
+
+def _fused_overrides(args) -> dict:
+    """Shared fused-engine (methods 3/4) config overrides from CLI flags."""
+    out = {}
+    if args.scan_chunk:
+        out["scan_chunk"] = args.scan_chunk
+    if getattr(args, "eval_linear", None):
+        out["eval_linear"] = args.eval_linear
+    if getattr(args, "eval_pcg_iters", None):
+        out["eval_pcg_max_iters"] = args.eval_pcg_iters
+    if getattr(args, "eval_pcg_rtol", None):
+        out["eval_pcg_rtol"] = args.eval_pcg_rtol
+    return out
 
 
 def main(argv=None) -> int:

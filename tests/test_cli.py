@@ -30,6 +30,19 @@ def test_flag_overrides():
     assert cfg.seed == 7
 
 
+def test_fused_eval_flag_overrides():
+    args = build_parser().parse_args(
+        ["INTEL", "5", "3", "--scan-chunk", "16", "--eval-linear", "schur",
+         "--eval-pcg-iters", "16", "--eval-pcg-rtol", "1e-2"]
+    )
+    cfg = config_from_args(args)
+    for sub in (cfg.layering, cfg.mcts):
+        assert sub.scan_chunk == 16
+        assert sub.eval_linear == "schur"
+        assert sub.eval_pcg_max_iters == 16
+        assert sub.eval_pcg_rtol == 1e-2
+
+
 def test_invalid_method_rejected():
     with pytest.raises(SystemExit):
         build_parser().parse_args(["INTEL", "5", "9"])
