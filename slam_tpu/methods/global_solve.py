@@ -73,10 +73,12 @@ def run_global_solve(
     # chain compression (see EdgeSet) slices the odometry prefix for free.
     # dense/schur consume full incidence directly.
     import jax as _jax
-    inc = ("chain"
-           if scfg.linear_solver in ("pcg", "woodbury")
-           and _jax.default_backend() != "cpu"
-           else None)
+    if scfg.linear_solver in ("pcg", "woodbury"):
+        inc = "chain" if _jax.default_backend() != "cpu" else None
+    elif scfg.linear_solver == "schur":
+        inc = True  # schur consumes FULL incidence on every backend
+    else:
+        inc = None  # backend auto (dense: incidence on TPU, index ops on CPU)
     edges = edge_set_from_graph(canon, dtype=dtype, pad_to=pad_to,
                                 incidence=inc)
     free = anchor_first_node(canon.num_nodes, dtype=dtype)
@@ -93,11 +95,14 @@ def run_global_solve(
         )
         logger.log("woodbury", lowrank_edges=partition.num_lowrank)
     if scfg.linear_solver == "schur":
-        from slam_tpu.solver.schur import build_partition
+        from slam_tpu.solver.schur import build_partition, choose_num_blocks
 
-        # Block-count sweep (results/README.md): more, smaller interior
-        # blocks win until the separator dominates; 16 was best on INTEL.
-        nblocks = min(16, max(2, canon.num_nodes // 200))
+        # Flop-model block-count choice; matches the measured per-dataset
+        # winners (INTEL 16, M10000 8, sphere2500 4 -- results/README.md).
+        nblocks = choose_num_blocks(
+            np.asarray(edges.ij), canon.num_nodes,
+            tangent_dim=model.tangent_dim,
+        )
         # Partition over the PADDED edge list so shapes line up with the
         # EdgeSet; pad edges self-loop on node 0 (a separator) with zero
         # weight, so they are unowned and contribute nothing.

@@ -140,6 +140,96 @@ def optimize_cut_positions(
     return node_block
 
 
+def _assign_blocks(
+    ij: np.ndarray, n: int, num_blocks: int, optimize_cuts: bool
+):
+    """Shared node/edge assignment: (sep_ids, interior_ids, block_edges)."""
+    ij = np.asarray(ij)
+    E = ij.shape[0]
+    if optimize_cuts:
+        node_block = optimize_cut_positions(ij, n, num_blocks)
+    else:
+        block_size = -(-n // num_blocks)
+        node_block = np.minimum(np.arange(n) // block_size, num_blocks - 1)
+
+    ba = node_block[ij[:, 0]]
+    bb = node_block[ij[:, 1]]
+    cross = ba != bb
+    sep = np.zeros(n, bool)
+    sep[ij[cross, 0]] = True
+    sep[ij[cross, 1]] = True
+    sep[0] = True  # gauge anchor lives in the separator system
+
+    sep_ids = np.where(sep)[0]
+    interior_ids = [
+        np.where((node_block == k) & ~sep)[0] for k in range(num_blocks)
+    ]
+
+    # Edge ownership: the block of its interior endpoint(s); pure-separator
+    # edges are owned by no block (they only touch C, assembled globally).
+    owner = np.full(E, -1, np.int64)
+    a_int = ~sep[ij[:, 0]]
+    b_int = ~sep[ij[:, 1]]
+    owner[a_int] = ba[a_int]
+    owner[b_int & (owner < 0)] = bb[b_int & (owner < 0)]
+    block_edges = [np.where(owner == k)[0] for k in range(num_blocks)]
+    return sep_ids, interior_ids, block_edges
+
+
+def partition_stats(
+    ij: np.ndarray, n: int, num_blocks: int, optimize_cuts: bool = False
+) -> tuple[int, int, int]:
+    """``(ni_max, ns, ek_max)`` of :func:`build_partition` without
+    materialising the (potentially hundreds-of-MB) selection operators."""
+    sep_ids, interior_ids, block_edges = _assign_blocks(
+        ij, n, num_blocks, optimize_cuts
+    )
+    ni_max = max(1, max(len(x) for x in interior_ids))
+    ek_max = max(1, max(len(x) for x in block_edges))
+    return ni_max, len(sep_ids), ek_max
+
+
+def choose_num_blocks(
+    ij: np.ndarray,
+    n: int,
+    tangent_dim: int = 3,
+    residual_dim: int | None = None,
+    candidates: tuple[int, ...] = (2, 4, 6, 8, 12, 16, 24, 32),
+) -> int:
+    """Pick the Schur block count minimising a per-iteration flop model.
+
+    Counts the dominant terms of :func:`schur_solve` (interior Cholesky,
+    Y triangular solves, A/F assembly, ``F^T Y``, separator Cholesky, C
+    assembly) for each candidate partition.  Validated against the measured
+    winners (results/README.md): INTEL+50 -> 16, M10000+50 -> 8,
+    sphere2500 -> 4, M3500+50 -> 8 (measured best 6; 8 sits between the
+    measured 6 and 12 points).
+    """
+    ij = np.asarray(ij)
+    D = tangent_dim
+    R = residual_dim if residual_dim is not None else tangent_dim
+    E = ij.shape[0]
+    best_p, best_f = None, None
+    for P in candidates:
+        if P < 2 or n // P < 8:
+            continue
+        ni, ns, ek = partition_stats(ij, n, P)
+        dni, dns, ekR = D * ni, D * ns, ek * R
+        f = (
+            P * dni**3 / 3            # interior Cholesky
+            + 2 * P * dni * dni * dns  # Y triangular solves
+            + P * dni * dni * ekR      # A assembly
+            + P * dni * dns * ekR      # F assembly
+            + P * dns * dns * dni      # F^T Y reduction
+            + dns**3 / 3               # separator Cholesky
+            + E * R * dns * dns        # C assembly (all-edge Jsep)
+        )
+        if best_f is None or f < best_f:
+            best_p, best_f = P, f
+    assert best_p is not None, "no feasible block count"
+    return best_p
+
+
 def build_partition(
     ij: np.ndarray,
     n: int,
@@ -158,36 +248,11 @@ def build_partition(
     """
     ij = np.asarray(ij)
     E = ij.shape[0]
-    if optimize_cuts:
-        node_block = optimize_cut_positions(ij, n, num_blocks)
-    else:
-        block_size = -(-n // num_blocks)
-        node_block = np.minimum(np.arange(n) // block_size, num_blocks - 1)
-
-    ba = node_block[ij[:, 0]]
-    bb = node_block[ij[:, 1]]
-    cross = ba != bb
-    sep = np.zeros(n, bool)
-    sep[ij[cross, 0]] = True
-    sep[ij[cross, 1]] = True
-    sep[0] = True  # gauge anchor lives in the separator system
-
-    sep_ids = np.where(sep)[0]
+    sep_ids, interior_ids, block_edges = _assign_blocks(
+        ij, n, num_blocks, optimize_cuts
+    )
     ns = len(sep_ids)
-
-    interior_ids = [
-        np.where((node_block == k) & ~sep)[0] for k in range(num_blocks)
-    ]
     ni_max = max(1, max(len(x) for x in interior_ids))
-
-    # Edge ownership: the block of its interior endpoint(s); pure-separator
-    # edges are owned by no block (they only touch C, assembled globally).
-    owner = np.full(E, -1, np.int64)
-    a_int = ~sep[ij[:, 0]]
-    b_int = ~sep[ij[:, 1]]
-    owner[a_int] = ba[a_int]
-    owner[b_int & (owner < 0)] = bb[b_int & (owner < 0)]
-    block_edges = [np.where(owner == k)[0] for k in range(num_blocks)]
     ek_max = max(1, max(len(x) for x in block_edges))
 
     if pad_shapes is not None:

@@ -38,6 +38,16 @@ def test_global_solve_pipeline(tmp_path, dirty_circle):
     assert metrics.ate(out.poses, gt) < metrics.ate(graph.poses, gt)
 
 
+def test_global_solve_schur_on_cpu(tmp_path, dirty_circle):
+    """--linear-solver schur must work on the CPU backend too (full
+    incidence is forced regardless of the backend's incidence auto-pick)."""
+    graph, gt = dirty_circle
+    cfg = RunConfig(method=1, solver=_SOLVER.replace(linear_solver="schur"),
+                    save_path=str(tmp_path))
+    out = run_global_solve(graph, cfg)
+    assert float(out.result.cost) < float(out.result.initial_cost)
+
+
 def test_layering_manager_runs(dirty_circle):
     graph, gt = dirty_circle
     mgr = LayeringManager(

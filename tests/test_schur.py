@@ -59,6 +59,39 @@ def test_schur_matches_dense(problem, nblocks):
     )
 
 
+def test_partition_stats_match_build(problem):
+    from slam_tpu.solver.schur import partition_stats
+
+    graph, edges, free, poses0, sw0 = problem
+    for P in (2, 4):
+        part = build_partition(graph.edges_ij, graph.num_nodes, P,
+                               dtype=jnp.float64)
+        assert partition_stats(graph.edges_ij, graph.num_nodes, P) == (
+            part.ni_max, part.ns, part.ek_max
+        )
+
+
+def test_choose_num_blocks_measured_winners():
+    """The flop model reproduces the measured per-dataset block-count
+    winners (results/README.md throughput tables)."""
+    from slam_tpu.io import g2o
+    from slam_tpu.solver.schur import choose_num_blocks
+
+    g = g2o.load_g2o(g2o.find_dataset("INTEL"))
+    g = g.add_random_outliers(50, seed=0).canonical_order()
+    assert choose_num_blocks(g.edges_ij, g.num_nodes) == 16
+
+    import os
+    if os.path.exists("data/sphere2500.g2o"):
+        s = g2o.load_g2o("data/sphere2500.g2o").canonical_order()
+        assert choose_num_blocks(s.edges_ij, s.num_nodes,
+                                 tangent_dim=6) == 4
+    if os.path.exists("data/M10000.g2o"):
+        m = g2o.load_g2o("data/M10000.g2o")
+        m = m.add_random_outliers(50, seed=0).canonical_order()
+        assert choose_num_blocks(m.edges_ij, m.num_nodes) == 8
+
+
 def test_blocked_cholesky_matches_scipy():
     """Panel-blocked Cholesky/solves (the TPU path inside schur_solve)
     reproduce LAPACK to machine precision, including padded sizes and both
