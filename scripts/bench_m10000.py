@@ -41,11 +41,11 @@ def run(spec: str) -> dict:
 
     graph = g2o.load_g2o("data/M10000.g2o")
     dirty = graph.add_random_outliers(50, seed=0).canonical_order()
-    # Schur assembles per-block gathers from the FULL incidence operators;
+    # Schur topology now lives in precomputed SchurPartition endpoint maps;
     # the matvec-only PCG path can use the chain-compressed form.
     edges = edge_set_from_graph(
         dirty, dtype=jnp.float32,
-        incidence=True if kind == "schur" else "chain")
+        incidence="chain")
     free = anchor_first_node(dirty.num_nodes, dtype=jnp.float32)
     poses0 = jnp.asarray(dirty.poses, jnp.float32)
     sw0 = jnp.ones((edges.num_edges,), jnp.float32)

@@ -5,8 +5,19 @@
 Schur is DOF-generic (D=6 tangent blocks; exactness pinned in
 ``tests/test_se3.py::test_sphere_schur_matches_dense``); PCG is the
 tridiag-CR-preconditioned path used by the sphere sweep.  20 corrupted
-closures (the sweep's mid config), DCS, 30 LM iterations, f32.
-Timing discipline matches bench.py.
+closures, DCS, 30 LM iterations, f32.  Timing discipline matches bench.py.
+
+LANDSCAPE CAVEAT on the reached cost: this script's corruption (+-20 m
+perturbation of REAL closures) is structured-adversarial and its DCS
+landscape has a strong odometry-only local minimum (cost ~22.3) that
+exact-solver runs can land in or escape depending on f32 rounding luck
+(observed final costs 3.2 / 12.1 / 22.3 across bit-different but
+mathematically identical solver builds; an f64 step at the stuck point
+also increases cost, so it is a true stationary point -- see
+results/README.md).  Read `iters_s` as the throughput result; for quality
+claims use the standard random-pair corruption (`add_random_outliers`,
+the sweep in results/sweeps/sphere2500.md, CLI `sphere2500 20 1`:
+23.0 -> 1.96 on this build) or `scripts/gnc_sphere_ab.py`.
 """
 
 from __future__ import annotations
@@ -53,7 +64,7 @@ def run(spec: str) -> dict:
     dirty = _dirty_sphere(20)
     edges = edge_set_from_graph(
         dirty, dtype=jnp.float32,
-        incidence=True if kind == "schur" else "chain")
+        incidence="chain")
     free = anchor_first_node(dirty.num_nodes, dtype=jnp.float32)
     poses0 = jnp.asarray(dirty.poses, jnp.float32)
     sw0 = jnp.ones((edges.num_edges,), jnp.float32)

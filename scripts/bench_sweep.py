@@ -44,6 +44,7 @@ def run(batch: int, blocks: int) -> dict:
         max(p.ni_max for p in raws),
         max(p.ns for p in raws),
         max(p.ek_max for p in raws),
+        max(p.es_max for p in raws),
     )
     parts = [
         build_partition(g.edges_ij, g.num_nodes, blocks,

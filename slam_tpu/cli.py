@@ -43,6 +43,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0,
                    help="outlier-injection PRNG seed (reference: srand(time(0)))")
     p.add_argument("--dcs-phi", type=float, default=0.5)
+    p.add_argument("--gnc-iters", type=int, default=0,
+                   help="graduated non-convexity: anneal DCS phi from "
+                        "phi*gnc-scale down to phi over this many LM "
+                        "iterations (0 = off, the reference behaviour)")
+    p.add_argument("--gnc-scale", type=float, default=1e4,
+                   help="initial phi multiplier for --gnc-iters")
     p.add_argument("--huber-delta", type=float, default=0.01)
     p.add_argument("--sc-lambda", type=float, default=1.0)
     p.add_argument("--sc-varpro", action="store_true",
@@ -107,6 +113,8 @@ def config_from_args(args) -> RunConfig:
         max_iterations=args.max_iterations,
         linear_solver=linear_solver,
         dtype=dtype,
+        gnc_anneal_iters=getattr(args, "gnc_iters", 0),
+        gnc_init_scale=getattr(args, "gnc_scale", 1e4),
     )
     return RunConfig(
         dataset=args.dataset,

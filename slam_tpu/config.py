@@ -34,6 +34,18 @@ class SolverConfig:
     huber_delta: float = 0.01     # main.cpp:68 (applied to every block)
     sc_prior_lambda: float = 1.0  # main.cpp:107
 
+    # Graduated non-convexity for DCS (extension; off by default for
+    # reference parity).  When ``gnc_anneal_iters > 0`` the effective phi is
+    # annealed geometrically from ``dcs_phi * gnc_init_scale`` down to
+    # ``dcs_phi`` over the first ``gnc_anneal_iters`` LM iterations.  Large
+    # phi makes psi ~ 1 (quadratic, convex-ish); shrinking it gradually
+    # re-introduces the robustness.  Fixes the DCS chicken-and-egg on badly
+    # drifted initial guesses (e.g. sphere2500: the whitened closure
+    # residuals start so large that psi turns ALL closures off and LM
+    # converges to the odometry-only local minimum).
+    gnc_anneal_iters: int = 0
+    gnc_init_scale: float = 1e4
+
     # LM trust-region loop (Ceres defaults: 50 iters, ftol 1e-6).
     max_iterations: int = 50
     function_tolerance: float = 1e-6

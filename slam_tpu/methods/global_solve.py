@@ -73,10 +73,11 @@ def run_global_solve(
     # chain compression (see EdgeSet) slices the odometry prefix for free.
     # dense/schur consume full incidence directly.
     import jax as _jax
-    if scfg.linear_solver in ("pcg", "woodbury"):
+    if scfg.linear_solver in ("pcg", "woodbury", "schur"):
+        # schur takes all topology from the precomputed SchurPartition
+        # endpoint maps, so its linearize path can ride the chain-compressed
+        # incidence like pcg's.
         inc = "chain" if _jax.default_backend() != "cpu" else None
-    elif scfg.linear_solver == "schur":
-        inc = True  # schur consumes FULL incidence on every backend
     else:
         inc = None  # backend auto (dense: incidence on TPU, index ops on CPU)
     edges = edge_set_from_graph(canon, dtype=dtype, pad_to=pad_to,

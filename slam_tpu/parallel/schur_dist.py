@@ -257,6 +257,20 @@ def distributed_schur_lm(
             R = sys_l.Ja.shape[1]
             wr = jnp.repeat(wsqrt, R)[:, None]
 
+            # Damping diagonals from the (psum'd for separator) H diagonal.
+            dnode_l = jnp.diagonal(sys_l.Hdiag, axis1=-2, axis2=-1)  # (N,D)
+            dnode = jax.lax.psum(dnode_l, BLOCK_AXIS)
+            clipd = jnp.clip(dnode, 1e-6, 1e32)
+            pin = (dnode == 0.0).astype(dtype)
+            # Jacobi equilibration, identical to solver/schur.py: factor the
+            # unit-diagonal D^-1/2 H D^-1/2 system (dampv == lam on live
+            # slots), unscale the solution.  Same stationary math, f32-safe.
+            scale = jnp.where(dnode == 0.0, jnp.ones_like(dnode),
+                              1.0 / jnp.sqrt(clipd))
+            dampv = lam * clipd * scale * scale
+            s_int = _mm(isel_, scale).T.reshape(-1)   # (D*ni,)
+            s_sep = _mm(ssel, scale).T.reshape(-1)    # (D*ns,)
+
             Jint = (
                 sys_l.Ja[:, :, :, None] * iia_[:, None, None, :]
                 + sys_l.Jb[:, :, :, None] * iib_[:, None, None, :]
@@ -265,8 +279,8 @@ def distributed_schur_lm(
                 sys_l.Ja[:, :, :, None] * isa_[:, None, None, :]
                 + sys_l.Jb[:, :, :, None] * isb_[:, None, None, :]
             ).reshape(ek * R, D * ns)
-            Aint = Jint * wr
-            Asep = Jsep * wr
+            Aint = Jint * wr * s_int[None, :]
+            Asep = Jsep * wr * s_sep[None, :]
             rw = (sys_l.r * wsqrt[:, None]).reshape(ek * R)
 
             A = _mm(Aint.T, Aint)
@@ -275,12 +289,7 @@ def distributed_schur_lm(
             b_i = -_mm(Aint.T, rw)
             b_s_l = -_mm(Asep.T, rw)
 
-            # Damping diagonals from the (psum'd for separator) H diagonal.
-            dnode_l = jnp.diagonal(sys_l.Hdiag, axis1=-2, axis2=-1)  # (N,D)
-            dnode = jax.lax.psum(dnode_l, BLOCK_AXIS)
-            damp = lam * jnp.clip(dnode, 1e-6, 1e32)
-            pin = (dnode == 0.0).astype(dtype)
-            damp_int = _mm(isel_, damp).T.reshape(-1)
+            damp_int = _mm(isel_, dampv).T.reshape(-1)
             # Pin gauge/edgeless slots AND padded interior slots (all-zero
             # int_sel rows) so the block Cholesky stays SPD.
             pin_int = jnp.maximum(
@@ -296,13 +305,14 @@ def distributed_schur_lm(
             # Separator reduction over the ICI.
             S = jax.lax.psum(C_l - _mm(F.T, Y), BLOCK_AXIS)
             rhs = jax.lax.psum(b_s_l - F.T @ y, BLOCK_AXIS)
-            damp_sep = _mm(ssel, damp).T.reshape(-1)
+            damp_sep = _mm(ssel, dampv).T.reshape(-1)
             pin_sep = _mm(ssel, pin).T.reshape(-1)
             S = S + jnp.eye(D * ns, dtype=dtype) * (damp_sep + pin_sep)[None, :]
 
             Ls = jax.scipy.linalg.cho_factor(S, lower=True)
             x_sep = jax.scipy.linalg.cho_solve(Ls, rhs)
-            x_int = y - Y @ x_sep
+            x_int = (y - Y @ x_sep) * s_int
+            x_sep = x_sep * s_sep
 
             dx_sep = _mm(ssel.T, x_sep.reshape(D, ns).T)
             dx_int_l = _mm(isel_.T, x_int.reshape(D, ni).T)

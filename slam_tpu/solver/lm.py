@@ -74,6 +74,21 @@ def _pallas_flags(cfg: SolverConfig) -> dict:
     return {"use_pallas": False, "pallas_interpret": False}
 
 
+def _gnc_phi(cfg: SolverConfig, it: Array, dtype) -> Array | float:
+    """Annealed DCS phi at iteration ``it`` (graduated non-convexity).
+
+    ``phi * scale^(1 - min(it, K)/K)``: starts at ``phi*scale``, decays
+    geometrically to ``phi`` by iteration K, constant after.  Returns the
+    plain config value when GNC is off so the static-phi program is
+    unchanged.
+    """
+    K = cfg.gnc_anneal_iters
+    if not K or cfg.robust != "dcs":
+        return cfg.dcs_phi
+    frac = jnp.minimum(it.astype(dtype) / K, 1.0)
+    return cfg.dcs_phi * jnp.asarray(cfg.gnc_init_scale, dtype) ** (1.0 - frac)
+
+
 def _solve_linear(system, edges, lam, cfg: SolverConfig, partition=None):
     if cfg.linear_solver == "dense":
         dx = linear.dense_solve(
@@ -138,13 +153,21 @@ def lm_solve(
     def cond(s: LMState):
         return (s.it < cfg.max_iterations) & (~s.converged)
 
+    gnc = bool(cfg.gnc_anneal_iters) and cfg.robust == "dcs"
+
     def body(s: LMState) -> LMState:
-        system = linearize(s.poses, s.switches, edges, free, **lin_kw)
+        phi_t = _gnc_phi(cfg, s.it, dtype)
+        kw_t = dict(kw, dcs_phi=phi_t)
+        lin_kw_t = dict(lin_kw, dcs_phi=phi_t)
+        system = linearize(s.poses, s.switches, edges, free, **lin_kw_t)
+        # Under GNC the objective changes each iteration; compare at the
+        # CURRENT phi (system.cost is the objective at s.poses and phi_t).
+        prev_cost = system.cost if gnc else s.cost
         dx, inner = _solve_linear(system, edges, s.lam, cfg, partition)
 
         new_poses = model.retract(s.poses, dx.poses)
         new_switches = s.switches + dx.switches
-        new_cost = cost_only(new_poses, new_switches, edges, **kw)
+        new_cost = cost_only(new_poses, new_switches, edges, **kw_t)
 
         # Gain ratio: actual / model reduction.
         d = jnp.diagonal(system.Hdiag, axis1=-2, axis2=-1)
@@ -154,20 +177,22 @@ def lm_solve(
             jnp.sum(dx.poses * (damp * dx.poses - system.g))
             + jnp.sum(dx.switches * (ds * dx.switches - system.gs))
         )
-        rho = (s.cost - new_cost) / jnp.maximum(model_red, 1e-30)
-        accept = new_cost < s.cost
+        rho = (prev_cost - new_cost) / jnp.maximum(model_red, 1e-30)
+        accept = new_cost < prev_cost
 
         factor = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
         lam_acc = jnp.clip(s.lam * factor, cfg.min_lambda, cfg.max_lambda)
         lam_rej = jnp.clip(s.lam * s.nu, cfg.min_lambda, cfg.max_lambda)
 
-        rel_decrease = (s.cost - new_cost) / jnp.maximum(s.cost, 1e-30)
+        rel_decrease = (prev_cost - new_cost) / jnp.maximum(prev_cost, 1e-30)
         converged = accept & (rel_decrease < cfg.function_tolerance)
+        if gnc:  # don't declare convergence while phi is still annealing
+            converged = converged & (s.it >= cfg.gnc_anneal_iters)
 
         return LMState(
             poses=jnp.where(accept, new_poses, s.poses),
             switches=jnp.where(accept, new_switches, s.switches),
-            cost=jnp.where(accept, new_cost, s.cost),
+            cost=jnp.where(accept, new_cost, prev_cost),
             lam=jnp.where(accept, lam_acc, lam_rej),
             nu=jnp.where(accept, jnp.full_like(s.nu, 2.0), s.nu * 2.0),
             it=s.it + 1,
@@ -228,13 +253,19 @@ def lm_fixed_iters(
     lin_kw = dict(kw, **_pallas_flags(cfg))
     cost0 = cost_only(poses0, switches0, edges, **kw)
 
+    gnc = bool(cfg.gnc_anneal_iters) and cfg.robust == "dcs"
+
     def step(s: LMState, _):
-        system = linearize(s.poses, s.switches, edges, free, **lin_kw)
+        phi_t = _gnc_phi(cfg, s.it, dtype)
+        kw_t = dict(kw, dcs_phi=phi_t)
+        lin_kw_t = dict(lin_kw, dcs_phi=phi_t)
+        system = linearize(s.poses, s.switches, edges, free, **lin_kw_t)
+        prev_cost = system.cost if gnc else s.cost
         dx, inner = _solve_linear(system, edges, s.lam, cfg, partition)
         new_poses = model.retract(s.poses, dx.poses)
         new_switches = s.switches + dx.switches
-        new_cost = cost_only(new_poses, new_switches, edges, **kw)
-        accept = new_cost < s.cost
+        new_cost = cost_only(new_poses, new_switches, edges, **kw_t)
+        accept = new_cost < prev_cost
         lam = jnp.where(
             accept,
             jnp.maximum(s.lam / 3.0, cfg.min_lambda),
@@ -243,7 +274,7 @@ def lm_fixed_iters(
         s = LMState(
             poses=jnp.where(accept, new_poses, s.poses),
             switches=jnp.where(accept, new_switches, s.switches),
-            cost=jnp.where(accept, new_cost, s.cost),
+            cost=jnp.where(accept, new_cost, prev_cost),
             lam=lam,
             nu=jnp.where(accept, jnp.full_like(s.nu, 2.0), s.nu * 2.0),
             it=s.it + 1,

@@ -55,12 +55,37 @@ class SchurPartition(NamedTuple):
     * ``sep_sel``:  (ns, N)        -- separator node selection
     * ``edge_sel``: (P, ek_max, E) -- block-k edge gather (edges with an
       interior endpoint in block k)
+    * ``sepedge_sel``: (es_max, E) -- gather of edges with >=1 separator
+      endpoint; all other edges have identically-zero separator Jacobian
+      rows, so the C/b_sep assembly runs over these rows only (on M10000
+      that is 15% of the edges -- a 6.5x cut of the dominant C-assembly
+      matmul and of the (E*R, D*ns) Jsep intermediate)
+    * ``int_a``/``int_b``: (P, ek_max, ni_max) -- block-k edge endpoint ->
+      interior-slot one-hots (zero row when that endpoint is a separator)
+    * ``sep_a``/``sep_b``: (P, ek_max, ns) -- block-k edge endpoint ->
+      separator-slot one-hots
+    * ``se_sep_a``/``se_sep_b``: (es_max, ns) -- sep-edge endpoint ->
+      separator-slot one-hots
+
+    The six endpoint->slot maps are what ``schur_solve`` previously derived
+    on device every call as ``edge_sel @ inc @ sel.T`` chains -- products of
+    the full (E, N) incidence that are pure topology and grow as E*N*ns
+    flops per LM iteration (~1.8e12 MACs at M10000).  Host-precomputing
+    them removes every E*N-scale matmul from the solve and drops the
+    full-incidence requirement (chain-compressed EdgeSets now work).
     """
 
     int_sel: Array
     int_mask: Array
     sep_sel: Array
     edge_sel: Array
+    sepedge_sel: Array
+    int_a: Array
+    int_b: Array
+    sep_a: Array
+    sep_b: Array
+    se_sep_a: Array
+    se_sep_b: Array
 
     @property
     def num_blocks(self) -> int:
@@ -77,6 +102,10 @@ class SchurPartition(NamedTuple):
     @property
     def ek_max(self) -> int:
         return self.edge_sel.shape[1]
+
+    @property
+    def es_max(self) -> int:
+        return self.sepedge_sel.shape[0]
 
 
 def optimize_cut_positions(
@@ -143,7 +172,8 @@ def optimize_cut_positions(
 def _assign_blocks(
     ij: np.ndarray, n: int, num_blocks: int, optimize_cuts: bool
 ):
-    """Shared node/edge assignment: (sep_ids, interior_ids, block_edges)."""
+    """Shared node/edge assignment:
+    ``(sep_ids, interior_ids, block_edges, sep_edges)``."""
     ij = np.asarray(ij)
     E = ij.shape[0]
     if optimize_cuts:
@@ -173,20 +203,21 @@ def _assign_blocks(
     owner[a_int] = ba[a_int]
     owner[b_int & (owner < 0)] = bb[b_int & (owner < 0)]
     block_edges = [np.where(owner == k)[0] for k in range(num_blocks)]
-    return sep_ids, interior_ids, block_edges
+    sep_edges = np.where(sep[ij[:, 0]] | sep[ij[:, 1]])[0]
+    return sep_ids, interior_ids, block_edges, sep_edges
 
 
 def partition_stats(
     ij: np.ndarray, n: int, num_blocks: int, optimize_cuts: bool = False
-) -> tuple[int, int, int]:
-    """``(ni_max, ns, ek_max)`` of :func:`build_partition` without
+) -> tuple[int, int, int, int]:
+    """``(ni_max, ns, ek_max, es_max)`` of :func:`build_partition` without
     materialising the (potentially hundreds-of-MB) selection operators."""
-    sep_ids, interior_ids, block_edges = _assign_blocks(
+    sep_ids, interior_ids, block_edges, sep_edges = _assign_blocks(
         ij, n, num_blocks, optimize_cuts
     )
     ni_max = max(1, max(len(x) for x in interior_ids))
     ek_max = max(1, max(len(x) for x in block_edges))
-    return ni_max, len(sep_ids), ek_max
+    return ni_max, len(sep_ids), ek_max, max(1, len(sep_edges))
 
 
 def choose_num_blocks(
@@ -213,8 +244,18 @@ def choose_num_blocks(
     for P in candidates:
         if P < 2 or n // P < 8:
             continue
-        ni, ns, ek = partition_stats(ij, n, P)
+        ni, ns, ek, es = partition_stats(ij, n, P)
         dni, dns, ekR = D * ni, D * ns, ek * R
+        # The last term keeps the FULL edge count even though the C
+        # assembly now runs over sep-touching edges only: it doubles as an
+        # effective penalty for the separator-size growth costs the flop
+        # count misses (operator bandwidth, vmap overhead, f32 quality --
+        # sphere P=6 converges measurably worse than P=4).  With it the
+        # model reproduces every measured winner before AND after the
+        # compression (INTEL 16 / M3500 ~8 / M10000 8 / sphere 4; the
+        # post-compression A/Bs kept the same winners: 515 vs 395 it/s on
+        # INTEL 16-vs-24, 5.5 vs 5.2 on M10000 8-vs-12, and P=4 beats P=6
+        # on sphere cost).
         f = (
             P * dni**3 / 3            # interior Cholesky
             + 2 * P * dni * dni * dns  # Y triangular solves
@@ -222,7 +263,7 @@ def choose_num_blocks(
             + P * dni * dns * ekR      # F assembly
             + P * dns * dns * dni      # F^T Y reduction
             + dns**3 / 3               # separator Cholesky
-            + E * R * dns * dns        # C assembly (all-edge Jsep)
+            + E * R * dns * dns        # C assembly + separator-growth penalty
         )
         if best_f is None or f < best_f:
             best_p, best_f = P, f
@@ -240,27 +281,31 @@ def build_partition(
 ) -> SchurPartition:
     """Contiguous index-range partition with cross-edge separator.
 
-    ``pad_shapes=(ni_max, ns, ek_max)`` pads the operators to given maxima
-    so partitions of *different* graphs (e.g. per-outlier-seed) share one
-    compiled program and can be vmapped/stacked together.
-    ``optimize_cuts`` places the block boundaries with
-    :func:`optimize_cut_positions` instead of equal-size slicing.
+    ``pad_shapes=(ni_max, ns, ek_max, es_max)`` pads the operators to given
+    maxima so partitions of *different* graphs (e.g. per-outlier-seed) share
+    one compiled program and can be vmapped/stacked together (a legacy
+    3-tuple without ``es_max`` is accepted).  ``optimize_cuts`` places the
+    block boundaries with :func:`optimize_cut_positions` instead of
+    equal-size slicing.
     """
     ij = np.asarray(ij)
     E = ij.shape[0]
-    sep_ids, interior_ids, block_edges = _assign_blocks(
+    sep_ids, interior_ids, block_edges, sep_edges = _assign_blocks(
         ij, n, num_blocks, optimize_cuts
     )
     ns = len(sep_ids)
     ni_max = max(1, max(len(x) for x in interior_ids))
     ek_max = max(1, max(len(x) for x in block_edges))
+    es_max = max(1, len(sep_edges))
 
     if pad_shapes is not None:
-        tni, tns, tek = pad_shapes
-        assert tni >= ni_max and tns >= ns and tek >= ek_max, (
+        tni, tns, tek = pad_shapes[:3]
+        tes = pad_shapes[3] if len(pad_shapes) > 3 else es_max
+        assert (tni >= ni_max and tns >= ns and tek >= ek_max
+                and tes >= es_max), (
             "pad_shapes smaller than this partition's natural sizes"
         )
-        ni_max, ek_max = tni, tek
+        ni_max, ek_max, es_max = tni, tek, tes
         ns_pad = tns
     else:
         ns_pad = ns
@@ -278,11 +323,52 @@ def build_partition(
     for k, ids in enumerate(block_edges):
         edge_sel[k, np.arange(len(ids)), ids] = 1.0
 
+    sepedge_sel = np.zeros((es_max, E), np.float32)
+    sepedge_sel[np.arange(len(sep_edges)), sep_edges] = 1.0
+
+    # Endpoint -> slot maps (pure topology; see SchurPartition docstring).
+    num_blocks_ = len(interior_ids)
+    sep_slot = np.full(n, -1, np.int64)
+    sep_slot[sep_ids] = np.arange(ns)
+    int_slot = np.full(n, -1, np.int64)
+    node_block_of = np.full(n, -1, np.int64)
+    for k, ids in enumerate(interior_ids):
+        int_slot[ids] = np.arange(len(ids))
+        node_block_of[ids] = k
+
+    int_a = np.zeros((num_blocks_, ek_max, ni_max), np.float32)
+    int_b = np.zeros((num_blocks_, ek_max, ni_max), np.float32)
+    sep_a = np.zeros((num_blocks_, ek_max, ns_pad), np.float32)
+    sep_b = np.zeros((num_blocks_, ek_max, ns_pad), np.float32)
+    for k, ids in enumerate(block_edges):
+        for r, e in enumerate(ids):
+            for ep, imap, smap in ((ij[e, 0], int_a, sep_a),
+                                   (ij[e, 1], int_b, sep_b)):
+                if sep_slot[ep] >= 0:
+                    smap[k, r, sep_slot[ep]] = 1.0
+                elif node_block_of[ep] == k:
+                    imap[k, r, int_slot[ep]] = 1.0
+
+    se_sep_a = np.zeros((es_max, ns_pad), np.float32)
+    se_sep_b = np.zeros((es_max, ns_pad), np.float32)
+    for r, e in enumerate(sep_edges):
+        if sep_slot[ij[e, 0]] >= 0:
+            se_sep_a[r, sep_slot[ij[e, 0]]] = 1.0
+        if sep_slot[ij[e, 1]] >= 0:
+            se_sep_b[r, sep_slot[ij[e, 1]]] = 1.0
+
     return SchurPartition(
         int_sel=jnp.asarray(int_sel, dtype),
         int_mask=jnp.asarray(int_mask, dtype),
         sep_sel=jnp.asarray(sep_sel, dtype),
         edge_sel=jnp.asarray(edge_sel, dtype),
+        sepedge_sel=jnp.asarray(sepedge_sel, dtype),
+        int_a=jnp.asarray(int_a, dtype),
+        int_b=jnp.asarray(int_b, dtype),
+        sep_a=jnp.asarray(sep_a, dtype),
+        sep_b=jnp.asarray(sep_b, dtype),
+        se_sep_a=jnp.asarray(se_sep_a, dtype),
+        se_sep_b=jnp.asarray(se_sep_b, dtype),
     )
 
 
@@ -303,8 +389,10 @@ def schur_solve(
 ) -> Update:
     """Exact damped-normal-equation solve via two-level Schur elimination.
 
-    Pose-only (switch slots return 0; SC uses the dense path).  Requires the
-    EdgeSet to carry incidence matrices.  ``blocked`` selects the
+    Pose-only (switch slots return 0; SC uses the dense path).  All graph
+    topology comes from the precomputed ``SchurPartition`` maps -- the
+    EdgeSet is only consulted for the padded edge count, so chain-compressed
+    (or incidence-free) EdgeSets work.  ``blocked`` selects the
     panel-blocked MXU Cholesky/solves (``blocked_chol.py``) instead of
     XLA's native ops; exact either way (see default note below).
     """
@@ -318,11 +406,6 @@ def schur_solve(
         blocked = False
     _panel = 16
     _sep_blocked = blocked
-    assert edges.inc_a is not None, "schur solver needs incidence matrices"
-    assert edges.inc_a.shape[0] == edges.num_edges, (
-        "schur solver needs FULL incidence (chain-compressed EdgeSets are "
-        "for the matvec/linearize paths; build with incidence=True)"
-    )
     E, R, D = system.Ja.shape
     n = system.Hdiag.shape[0]
     dtype = system.Ja.dtype
@@ -332,22 +415,45 @@ def schur_solve(
     wsqrt = jnp.sqrt(system.w)
     # Damping values per node coordinate: lam * clip(diag(H)).
     dnode = jnp.diagonal(system.Hdiag, axis1=-2, axis2=-1)  # (N, D)
-    damp = lam * jnp.clip(dnode, _DIAG_MIN, _DIAG_MAX)      # (N, D)
+    clipd = jnp.clip(dnode, _DIAG_MIN, _DIAG_MAX)           # (N, D)
     # Gauge / isolated slots: diagonal exactly 0 -> pin with identity.
     pin = (dnode == 0.0).astype(dtype)
+    # Jacobi equilibration: solve in the column-scaled space
+    # D^-1/2 H D^-1/2 (unit diagonal), which is mathematically identical to
+    # the unscaled lam*clip(diag) damped system but conditions the f32
+    # Cholesky by the diagonal spread -- SE(3) information matrices mix
+    # rotation/translation scales badly enough that the unscaled f32 solve
+    # rejects nearly every LM step on sphere2500 (cost stuck at 22.3 vs
+    # f64's convergence; CPU f32 reproduces, so it is conditioning, not a
+    # TPU artifact).  dampv = lam * clip(diag) * scale^2 == lam exactly on
+    # in-range slots.
+    scale = jnp.where(dnode == 0.0, jnp.ones_like(dnode),
+                      1.0 / jnp.sqrt(clipd))                # (N, D)
+    dampv = lam * clipd * scale * scale                     # (N, D)
+    s_sep = _mm(part.sep_sel, scale).T.reshape(-1)          # (D*ns,)
 
-    # ---- separator system from ALL edges -------------------------------
-    inc_a_sep = _mm(edges.inc_a, part.sep_sel.T)  # (E, ns)
-    inc_b_sep = _mm(edges.inc_b, part.sep_sel.T)
-    # A_sep rows: (E, R, D, ns) -> (E*R, D*ns), coordinate-major.
+    # ---- separator system -----------------------------------------------
+    # Only separator-touching edges have nonzero Jsep rows; gather those
+    # rows first (padded selection rows are all-zero and contribute
+    # nothing).  This cuts the (rows, D*ns) Jsep intermediate and the
+    # C = Asep^T Asep matmul by 1/sep-edge-fraction (6.5x on M10000).
+    es = part.es_max
+    ssel = part.sepedge_sel
+    Ja_s = _mm(ssel, system.Ja.reshape(E, R * D)).reshape(es, R, D)
+    Jb_s = _mm(ssel, system.Jb.reshape(E, R * D)).reshape(es, R, D)
+    w_s = _mm(ssel, wsqrt[:, None])[:, 0]
+    r_s = _mm(ssel, system.r)                     # (es, R)
+    sa_s = part.se_sep_a                          # (es, ns)
+    sb_s = part.se_sep_b
+    # A_sep rows: (es, R, D, ns) -> (es*R, D*ns), coordinate-major.
     Jsep = (
-        system.Ja[:, :, :, None] * inc_a_sep[:, None, None, :]
-        + system.Jb[:, :, :, None] * inc_b_sep[:, None, None, :]
-    ).reshape(E * R, D * ns)
-    Wr = jnp.repeat(wsqrt, R)[:, None]
-    Asep = Jsep * Wr
+        Ja_s[:, :, :, None] * sa_s[:, None, None, :]
+        + Jb_s[:, :, :, None] * sb_s[:, None, None, :]
+    ).reshape(es * R, D * ns)
+    Wr = jnp.repeat(w_s, R)[:, None]
+    Asep = Jsep * Wr * s_sep[None, :]
     C = _mm(Asep.T, Asep)  # (D*ns, D*ns)
-    damp_sep = _mm(part.sep_sel, damp).T.reshape(-1)   # (D*ns,) coord-major
+    damp_sep = _mm(part.sep_sel, dampv).T.reshape(-1)  # (D*ns,) coord-major
     # Pin gauge-fixed slots AND padded separator slots (all-zero sel rows,
     # present when partitions are padded to shared shapes).
     sep_live = jnp.sum(part.sep_sel, axis=1)           # (ns,)
@@ -357,20 +463,16 @@ def schur_solve(
     )
     C = C + jnp.eye(D * ns, dtype=dtype) * (damp_sep + pin_sep)[None, :]
 
-    rflat = (system.r * wsqrt[:, None]).reshape(E * R)
+    rflat = (r_s * w_s[:, None]).reshape(es * R)
     b_sep = -_mm(Asep.T, rflat)  # (D*ns,)
 
     # ---- per-block interior systems ------------------------------------
-    def block_sys(esel, isel, imask):
+    def block_sys(esel, isel, imask, ia_k, ib_k, sa_k, sb_k):
         # Gather this block's edge rows.
         Ja_k = _mm(esel, system.Ja.reshape(E, R * D)).reshape(ek, R, D)
         Jb_k = _mm(esel, system.Jb.reshape(E, R * D)).reshape(ek, R, D)
         w_k = _mm(esel, wsqrt[:, None])[:, 0]
         r_k = _mm(esel, system.r)          # (ek, R)
-        ia_k = _mm(_mm(esel, edges.inc_a), isel.T)  # (ek, ni)
-        ib_k = _mm(_mm(esel, edges.inc_b), isel.T)
-        sa_k = _mm(esel, inc_a_sep)        # (ek, ns)
-        sb_k = _mm(esel, inc_b_sep)
 
         Jint = (
             Ja_k[:, :, :, None] * ia_k[:, None, None, :]
@@ -381,22 +483,24 @@ def schur_solve(
             + Jb_k[:, :, :, None] * sb_k[:, None, None, :]
         ).reshape(ek * R, D * ns)
         wk = jnp.repeat(w_k, R)[:, None]
-        Aint = Jint * wk
+        s_int = _mm(isel, scale).T.reshape(-1)          # (D*ni,)
+        Aint = Jint * wk * s_int[None, :]
         A = _mm(Aint.T, Aint)              # (D*ni, D*ni)
-        F = _mm(Aint.T, Jsep_k * wk)       # (D*ni, D*ns)
+        F = _mm(Aint.T, Jsep_k * wk * s_sep[None, :])   # (D*ni, D*ns)
         b = -_mm(Aint.T, (r_k * w_k[:, None]).reshape(ek * R))
 
-        damp_int = _mm(isel, damp).T.reshape(-1)
+        damp_int = _mm(isel, dampv).T.reshape(-1)
         # Pin padded / edgeless interior slots (mask==0 or zero diagonal).
         pin_int = jnp.maximum(
             _mm(isel, pin).T.reshape(-1),
             jnp.tile(1.0 - imask, (D,)),
         )
         A = A + jnp.eye(D * ni, dtype=dtype) * (damp_int + pin_int)[None, :]
-        return A, F, b
+        return A, F, b, s_int
 
-    A_b, F_b, b_b = jax.vmap(block_sys)(
-        part.edge_sel, part.int_sel, part.int_mask
+    A_b, F_b, b_b, s_int_b = jax.vmap(block_sys)(
+        part.edge_sel, part.int_sel, part.int_mask,
+        part.int_a, part.int_b, part.sep_a, part.sep_b,
     )
 
     # ---- eliminate interiors, reduce separator -------------------------
@@ -431,6 +535,9 @@ def schur_solve(
         x_sep = jax.scipy.linalg.cho_solve(Ls, rhs_s)  # (D*ns,)
 
     x_int = y - jnp.einsum("pij,j->pi", Y, x_sep, precision=_PREC)
+    # Leave the scaled space: x = D^-1/2 x'.
+    x_int = x_int * s_int_b
+    x_sep = x_sep * s_sep
 
     # ---- scatter back to (N, D) via selection matmuls -------------------
     x_sep_nd = _mm(part.sep_sel.T, x_sep.reshape(D, ns).T)  # (N, D)

@@ -42,6 +42,28 @@ def test_m3500_counts():
     assert g.num_edges == 5453
 
 
+@pytest.mark.skipif(
+    not os.path.exists("data/M3500b.g2o"), reason="generated datasets absent"
+)
+def test_m3500_variants():
+    """M3500b/M3500c (named by ``main.cpp:23`` but not shipped): same
+    topology as M3500, extra odometry-rotation noise, initial guess
+    re-integrated from the corrupted chain (so it drifts from M3500's)."""
+    base = g2o.load_g2o(g2o.find_dataset("M3500"))
+    for name in ("M3500b", "M3500c"):
+        v = g2o.load_g2o(g2o.find_dataset(name))
+        assert v.num_nodes == base.num_nodes
+        assert v.num_edges == base.num_edges
+        np.testing.assert_array_equal(v.edges_ij, base.edges_ij)
+        odo = v.edge_type == ODOMETRY_EDGE
+        # Rotations perturbed, translations untouched.
+        assert np.abs(v.edges_meas[odo, 2] - base.edges_meas[odo, 2]).max() > 0.01
+        np.testing.assert_allclose(
+            v.edges_meas[odo, :2], base.edges_meas[odo, :2], atol=1e-12
+        )
+        assert np.abs(v.poses - base.poses).max() > 1.0
+
+
 @needs_ref
 def test_odometry_classification_rule():
     """|a-b| < 5 => odometry (``g2o_util.h:68``)."""

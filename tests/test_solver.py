@@ -38,6 +38,33 @@ def test_lm_converges_and_reduces_cost(circle):
     )
 
 
+def test_gnc_schedule_and_fixed_point(circle_outliers):
+    """Graduated non-convexity (extension; SolverConfig.gnc_anneal_iters):
+    the phi schedule starts at phi*scale, reaches phi at iteration K, and
+    the annealed solve lands at the same robust fixed point as plain DCS on
+    a well-conditioned problem (annealing must not hurt the easy case)."""
+    from slam_tpu.solver.lm import _gnc_phi
+
+    cfg = SolverConfig(robust="dcs", dcs_phi=0.5, gnc_anneal_iters=10,
+                       gnc_init_scale=1e4)
+    f = lambda it: float(_gnc_phi(cfg, jnp.int32(it), jnp.float64))
+    assert f(0) == pytest.approx(0.5 * 1e4)
+    assert f(5) == pytest.approx(0.5 * 1e2)
+    assert f(10) == pytest.approx(0.5)
+    assert f(25) == pytest.approx(0.5)
+    off = cfg.replace(gnc_anneal_iters=0)
+    assert _gnc_phi(off, jnp.int32(0), jnp.float64) == 0.5
+
+    dirty, _ = circle_outliers
+    edges, free, poses0, sw0 = _setup(dirty)
+    base = SolverConfig(robust="dcs", linear_solver="dense", dtype="float64",
+                        max_iterations=60)
+    plain = lm_solve(poses0, sw0, edges, free, base)
+    gnc = lm_solve(poses0, sw0, edges, free,
+                   base.replace(gnc_anneal_iters=10))
+    assert float(gnc.cost) < 1.05 * float(plain.cost)
+
+
 def test_dense_and_pcg_agree(circle):
     graph, _ = circle
     edges, free, poses0, sw0 = _setup(graph)
