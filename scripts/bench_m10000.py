@@ -51,11 +51,14 @@ def run(spec: str) -> dict:
     sw0 = jnp.ones((edges.num_edges,), jnp.float32)
 
     partition = None
-    if kind == "schur":
+    if kind in ("schur", "schuropt"):
+        # ``schuropt:P`` places the block cuts with the span-minimising DP
+        # (optimize_cut_positions) instead of equal-size slicing.
         cfg = SolverConfig(robust="dcs", linear_solver="schur",
                            dtype="float32")
         partition = build_partition(dirty.edges_ij, dirty.num_nodes, blocks,
-                                    dtype=jnp.float32)
+                                    dtype=jnp.float32,
+                                    optimize_cuts=(kind == "schuropt"))
     else:
         # ``pcg:N`` caps the inner CG at N iterations (0 -> 100).  On this
         # outlier-heavy graph the chain preconditioner models closures only

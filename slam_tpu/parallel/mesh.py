@@ -16,6 +16,7 @@ from jax.sharding import Mesh
 
 EDGE_AXIS = "edges"   # data-parallel axis over graph edges
 BLOCK_AXIS = "blocks" # map-block axis for the partitioned Schur solver
+REPLICA_AXIS = "replicas"  # pure-DP axis over independent problems (seeds)
 
 
 def make_edge_mesh(num_devices: int | None = None) -> Mesh:
@@ -32,6 +33,24 @@ def make_block_mesh(num_devices: int | None = None) -> Mesh:
     if num_devices is not None:
         devs = devs[:num_devices]
     return Mesh(np.array(devs), (BLOCK_AXIS,))
+
+
+def make_replica_block_mesh(
+    num_replicas: int, num_blocks: int
+) -> Mesh:
+    """2-D mesh: pure-DP replica axis (independent problems, e.g. outlier
+    seeds -- the reference's Try1/Try2 Monte-Carlo pattern) x map-block axis
+    (partitioned Schur).  On a pod slice the replica axis is the natural
+    DCN/outer dimension (zero collectives cross it) and the block axis
+    rides ICI (separator psums)."""
+    devs = jax.devices()[: num_replicas * num_blocks]
+    assert len(devs) == num_replicas * num_blocks, (
+        f"need {num_replicas * num_blocks} devices, have {len(jax.devices())}"
+    )
+    return Mesh(
+        np.array(devs).reshape(num_replicas, num_blocks),
+        (REPLICA_AXIS, BLOCK_AXIS),
+    )
 
 
 def pad_to_multiple(n: int, m: int) -> int:

@@ -82,10 +82,51 @@ class DistSchurProblem(NamedTuple):
         return self.inc_int_a.shape[1]
 
 
+def dist_problem_stats(
+    graph: PoseGraph, num_blocks: int
+) -> tuple[int, int, int]:
+    """Natural ``(ni, ns, ek)`` of :func:`build_dist_problem` -- use to
+    compute shared ``pad_shapes`` across problems (e.g. outlier seeds)."""
+    g = graph.canonical_order()
+    ij = g.edges_ij
+    n = g.num_nodes
+    block_size = -(-n // num_blocks)
+    node_block = np.minimum(np.arange(n) // block_size, num_blocks - 1)
+    ba, bb = node_block[ij[:, 0]], node_block[ij[:, 1]]
+    sep = np.zeros(n, bool)
+    cross = ba != bb
+    sep[ij[cross, 0]] = True
+    sep[ij[cross, 1]] = True
+    sep[0] = True
+    ns = int(sep.sum())
+    interior = (~sep).astype(np.int64)
+    ni = max(1, int(np.bincount(node_block, weights=interior,
+                                minlength=num_blocks).max()))
+    owner = np.full(ij.shape[0], -1)
+    a_int = ~sep[ij[:, 0]]
+    b_int = ~sep[ij[:, 1]]
+    owner[a_int] = ba[a_int]
+    sel = b_int & (owner < 0)
+    owner[sel] = bb[sel]
+    pure = np.where(owner < 0)[0]
+    owner[pure] = np.arange(len(pure)) % num_blocks
+    ek = max(1, int(np.bincount(owner, minlength=num_blocks).max()))
+    return ni, ns, ek
+
+
 def build_dist_problem(
-    graph: PoseGraph, num_blocks: int, dtype=jnp.float32
+    graph: PoseGraph,
+    num_blocks: int,
+    dtype=jnp.float32,
+    pad_shapes: tuple[int, int, int] | None = None,
 ) -> DistSchurProblem:
-    """Partition + per-device edge shards (every edge on exactly one device)."""
+    """Partition + per-device edge shards (every edge on exactly one device).
+
+    ``pad_shapes=(ni, ns, ek)`` pads to shared maxima so problems on
+    different graphs (same N) can be stacked for the replica-DP batched
+    solver (:func:`distributed_batched_schur_lm`); padded separator slots
+    are pinned with identity inside the solve.
+    """
     g = graph.canonical_order()
     ij = g.edges_ij
     n = g.num_nodes
@@ -126,6 +167,16 @@ def build_dist_problem(
     per_block = [np.where(owner == k)[0] for k in range(num_blocks)]
     ek = max(1, max(len(x) for x in per_block))
 
+    if pad_shapes is not None:
+        tni, tns, tek = pad_shapes
+        assert tni >= ni and tns >= ns and tek >= ek, (
+            "pad_shapes smaller than this problem's natural sizes"
+        )
+        ni, ek = tni, tek
+        ns_pad = tns
+    else:
+        ns_pad = ns
+
     def padded(field, fill=0.0):
         out = np.full((num_blocks, ek) + field.shape[1:], fill, field.dtype)
         for k, ids in enumerate(per_block):
@@ -145,8 +196,8 @@ def build_dist_problem(
     inc_b = np.zeros((num_blocks, ek, n), np.float32)
     inc_ia = np.zeros((num_blocks, ek, ni), np.float32)
     inc_ib = np.zeros((num_blocks, ek, ni), np.float32)
-    inc_sa = np.zeros((num_blocks, ek, ns), np.float32)
-    inc_sb = np.zeros((num_blocks, ek, ns), np.float32)
+    inc_sa = np.zeros((num_blocks, ek, ns_pad), np.float32)
+    inc_sb = np.zeros((num_blocks, ek, ns_pad), np.float32)
     for k, ids in enumerate(per_block):
         for r, e in enumerate(ids):
             a, b = ij[e]
@@ -166,7 +217,7 @@ def build_dist_problem(
     for k, ids in enumerate(interior_ids):
         int_sel[k, np.arange(len(ids)), ids] = 1.0
         int_mask[k, : len(ids)] = 1.0
-    sep_sel = np.zeros((ns, n), np.float32)
+    sep_sel = np.zeros((ns_pad, n), np.float32)
     sep_sel[np.arange(ns), sep_ids] = 1.0
 
     edges = EdgeSet(
@@ -192,6 +243,128 @@ def build_dist_problem(
 
 def _mm(a, b):
     return jnp.matmul(a, b, precision=_PREC, preferred_element_type=a.dtype)
+
+
+def _schur_lm_shard(
+    poses, local, iia_, iib_, isa_, isb_, isel_, imask_, ssel, free_node,
+    *, cfg, model, kw, num_iters, dtype, D, ni, ns, ek,
+):
+    """Per-shard LM body: this device's block of the partitioned-Schur LM.
+
+    Runs inside ``shard_map``; the only collectives are psums over
+    ``BLOCK_AXIS`` (separator reduction, cost/diag reductions, update
+    scatter).  Shared by the single-problem and replica-batched entry
+    points.  Returns ``(poses, cost, cost0)`` replicated within the block
+    axis."""
+    fmask = FreeMask(node=free_node)
+
+    def lm_step(carry, _):
+        poses, lam, nu, cost = carry
+        sw = jnp.ones((ek,), dtype)
+        sys_l = linearize(
+            poses, sw, local, fmask,
+            fixed_identity_scale=0.0, **kw,
+        )
+        cost_here = jax.lax.psum(sys_l.cost, BLOCK_AXIS)
+
+        wsqrt = jnp.sqrt(sys_l.w)
+        R = sys_l.Ja.shape[1]
+        wr = jnp.repeat(wsqrt, R)[:, None]
+
+        # Damping diagonals from the (psum'd for separator) H diagonal.
+        dnode_l = jnp.diagonal(sys_l.Hdiag, axis1=-2, axis2=-1)  # (N,D)
+        dnode = jax.lax.psum(dnode_l, BLOCK_AXIS)
+        clipd = jnp.clip(dnode, 1e-6, 1e32)
+        pin = (dnode == 0.0).astype(dtype)
+        # Jacobi equilibration, identical to solver/schur.py: factor the
+        # unit-diagonal D^-1/2 H D^-1/2 system (dampv == lam on live
+        # slots), unscale the solution.  Same stationary math, f32-safe.
+        scale = jnp.where(dnode == 0.0, jnp.ones_like(dnode),
+                          1.0 / jnp.sqrt(clipd))
+        dampv = lam * clipd * scale * scale
+        s_int = _mm(isel_, scale).T.reshape(-1)   # (D*ni,)
+        s_sep = _mm(ssel, scale).T.reshape(-1)    # (D*ns,)
+
+        Jint = (
+            sys_l.Ja[:, :, :, None] * iia_[:, None, None, :]
+            + sys_l.Jb[:, :, :, None] * iib_[:, None, None, :]
+        ).reshape(ek * R, D * ni)
+        Jsep = (
+            sys_l.Ja[:, :, :, None] * isa_[:, None, None, :]
+            + sys_l.Jb[:, :, :, None] * isb_[:, None, None, :]
+        ).reshape(ek * R, D * ns)
+        Aint = Jint * wr * s_int[None, :]
+        Asep = Jsep * wr * s_sep[None, :]
+        rw = (sys_l.r * wsqrt[:, None]).reshape(ek * R)
+
+        A = _mm(Aint.T, Aint)
+        F = _mm(Aint.T, Asep)
+        C_l = _mm(Asep.T, Asep)
+        b_i = -_mm(Aint.T, rw)
+        b_s_l = -_mm(Asep.T, rw)
+
+        damp_int = _mm(isel_, dampv).T.reshape(-1)
+        # Pin gauge/edgeless slots AND padded interior slots (all-zero
+        # int_sel rows) so the block Cholesky stays SPD.
+        pin_int = jnp.maximum(
+            _mm(isel_, pin).T.reshape(-1),
+            jnp.tile(1.0 - imask_, (D,)),
+        )
+        A = A + jnp.eye(D * ni, dtype=dtype) * (damp_int + pin_int)[None, :]
+
+        L = jax.scipy.linalg.cho_factor(A, lower=True)
+        Y = jax.scipy.linalg.cho_solve(L, F)
+        y = jax.scipy.linalg.cho_solve(L, b_i)
+
+        # Separator reduction over the ICI.
+        S = jax.lax.psum(C_l - _mm(F.T, Y), BLOCK_AXIS)
+        rhs = jax.lax.psum(b_s_l - F.T @ y, BLOCK_AXIS)
+        damp_sep = _mm(ssel, dampv).T.reshape(-1)
+        # Pin gauge slots AND padded separator slots (all-zero sel rows,
+        # present when problems are padded to shared shapes).
+        sep_live = jnp.sum(ssel, axis=1)
+        pin_sep = jnp.maximum(
+            _mm(ssel, pin).T.reshape(-1),
+            jnp.tile(1.0 - sep_live, (D,)),
+        )
+        S = S + jnp.eye(D * ns, dtype=dtype) * (damp_sep + pin_sep)[None, :]
+
+        Ls = jax.scipy.linalg.cho_factor(S, lower=True)
+        x_sep = jax.scipy.linalg.cho_solve(Ls, rhs)
+        x_int = (y - Y @ x_sep) * s_int
+        x_sep = x_sep * s_sep
+
+        dx_sep = _mm(ssel.T, x_sep.reshape(D, ns).T)
+        dx_int_l = _mm(isel_.T, x_int.reshape(D, ni).T)
+        dx = dx_sep + jax.lax.psum(dx_int_l, BLOCK_AXIS)
+
+        new_poses = model.retract(poses, dx)
+        new_cost = jax.lax.psum(
+            cost_only(new_poses, sw, local, **kw), BLOCK_AXIS
+        )
+        accept = new_cost < cost_here
+        poses = jnp.where(accept, new_poses, poses)
+        lam = jnp.where(
+            accept,
+            jnp.maximum(lam / 3.0, cfg.min_lambda),
+            jnp.minimum(lam * nu, cfg.max_lambda),
+        )
+        nu = jnp.where(accept, jnp.full_like(nu, 2.0), nu * 2.0)
+        cost = jnp.where(accept, new_cost, cost_here)
+        return (poses, lam, nu, cost), cost
+
+    sw0 = jnp.ones((ek,), dtype)
+    cost0 = jax.lax.psum(cost_only(poses, sw0, local, **kw), BLOCK_AXIS)
+    # full_like(cost0) gives lam/nu the same varying-manual-axes type as
+    # the data (they become replica-varying on a 2-D replica x block mesh);
+    # plain scalars would make the scan carry type mismatch its output.
+    (poses, _, _, cost), _ = jax.lax.scan(
+        lm_step,
+        (poses, jnp.full_like(cost0, cfg.init_lambda),
+         jnp.full_like(cost0, 2.0), cost0),
+        None, length=num_iters,
+    )
+    return poses, cost, cost0
 
 
 @partial(jax.jit, static_argnames=("cfg", "mesh", "num_iters", "model"))
@@ -238,113 +411,110 @@ def distributed_schur_lm(
     def run(poses, edges_s, iia, iib, isa, isb, isel, imask, ssel, free_node):
         # Shards arrive with a leading axis of length 1; drop it.
         local = jax.tree.map(lambda x: x[0], edges_s)
-        iia_, iib_ = iia[0], iib[0]
-        isa_, isb_ = isa[0], isb[0]
-        isel_ = isel[0]
-        imask_ = imask[0]
-        fmask = FreeMask(node=free_node)
-
-        def lm_step(carry, _):
-            poses, lam, nu, cost = carry
-            sw = jnp.ones((ek,), dtype)
-            sys_l = linearize(
-                poses, sw, local, fmask,
-                fixed_identity_scale=0.0, **kw,
-            )
-            cost_here = jax.lax.psum(sys_l.cost, BLOCK_AXIS)
-
-            wsqrt = jnp.sqrt(sys_l.w)
-            R = sys_l.Ja.shape[1]
-            wr = jnp.repeat(wsqrt, R)[:, None]
-
-            # Damping diagonals from the (psum'd for separator) H diagonal.
-            dnode_l = jnp.diagonal(sys_l.Hdiag, axis1=-2, axis2=-1)  # (N,D)
-            dnode = jax.lax.psum(dnode_l, BLOCK_AXIS)
-            clipd = jnp.clip(dnode, 1e-6, 1e32)
-            pin = (dnode == 0.0).astype(dtype)
-            # Jacobi equilibration, identical to solver/schur.py: factor the
-            # unit-diagonal D^-1/2 H D^-1/2 system (dampv == lam on live
-            # slots), unscale the solution.  Same stationary math, f32-safe.
-            scale = jnp.where(dnode == 0.0, jnp.ones_like(dnode),
-                              1.0 / jnp.sqrt(clipd))
-            dampv = lam * clipd * scale * scale
-            s_int = _mm(isel_, scale).T.reshape(-1)   # (D*ni,)
-            s_sep = _mm(ssel, scale).T.reshape(-1)    # (D*ns,)
-
-            Jint = (
-                sys_l.Ja[:, :, :, None] * iia_[:, None, None, :]
-                + sys_l.Jb[:, :, :, None] * iib_[:, None, None, :]
-            ).reshape(ek * R, D * ni)
-            Jsep = (
-                sys_l.Ja[:, :, :, None] * isa_[:, None, None, :]
-                + sys_l.Jb[:, :, :, None] * isb_[:, None, None, :]
-            ).reshape(ek * R, D * ns)
-            Aint = Jint * wr * s_int[None, :]
-            Asep = Jsep * wr * s_sep[None, :]
-            rw = (sys_l.r * wsqrt[:, None]).reshape(ek * R)
-
-            A = _mm(Aint.T, Aint)
-            F = _mm(Aint.T, Asep)
-            C_l = _mm(Asep.T, Asep)
-            b_i = -_mm(Aint.T, rw)
-            b_s_l = -_mm(Asep.T, rw)
-
-            damp_int = _mm(isel_, dampv).T.reshape(-1)
-            # Pin gauge/edgeless slots AND padded interior slots (all-zero
-            # int_sel rows) so the block Cholesky stays SPD.
-            pin_int = jnp.maximum(
-                _mm(isel_, pin).T.reshape(-1),
-                jnp.tile(1.0 - imask_, (D,)),
-            )
-            A = A + jnp.eye(D * ni, dtype=dtype) * (damp_int + pin_int)[None, :]
-
-            L = jax.scipy.linalg.cho_factor(A, lower=True)
-            Y = jax.scipy.linalg.cho_solve(L, F)
-            y = jax.scipy.linalg.cho_solve(L, b_i)
-
-            # Separator reduction over the ICI.
-            S = jax.lax.psum(C_l - _mm(F.T, Y), BLOCK_AXIS)
-            rhs = jax.lax.psum(b_s_l - F.T @ y, BLOCK_AXIS)
-            damp_sep = _mm(ssel, dampv).T.reshape(-1)
-            pin_sep = _mm(ssel, pin).T.reshape(-1)
-            S = S + jnp.eye(D * ns, dtype=dtype) * (damp_sep + pin_sep)[None, :]
-
-            Ls = jax.scipy.linalg.cho_factor(S, lower=True)
-            x_sep = jax.scipy.linalg.cho_solve(Ls, rhs)
-            x_int = (y - Y @ x_sep) * s_int
-            x_sep = x_sep * s_sep
-
-            dx_sep = _mm(ssel.T, x_sep.reshape(D, ns).T)
-            dx_int_l = _mm(isel_.T, x_int.reshape(D, ni).T)
-            dx = dx_sep + jax.lax.psum(dx_int_l, BLOCK_AXIS)
-
-            new_poses = model.retract(poses, dx)
-            new_cost = jax.lax.psum(
-                cost_only(new_poses, sw, local, **kw), BLOCK_AXIS
-            )
-            accept = new_cost < cost_here
-            poses = jnp.where(accept, new_poses, poses)
-            lam = jnp.where(
-                accept,
-                jnp.maximum(lam / 3.0, cfg.min_lambda),
-                jnp.minimum(lam * nu, cfg.max_lambda),
-            )
-            nu = jnp.where(accept, jnp.full_like(nu, 2.0), nu * 2.0)
-            cost = jnp.where(accept, new_cost, cost_here)
-            return (poses, lam, nu, cost), cost
-
-        sw0 = jnp.ones((ek,), dtype)
-        cost0 = jax.lax.psum(cost_only(poses, sw0, local, **kw), BLOCK_AXIS)
-        (poses, _, _, cost), _ = jax.lax.scan(
-            lm_step,
-            (poses, jnp.asarray(cfg.init_lambda, dtype),
-             jnp.asarray(2.0, dtype), cost0),
-            None, length=num_iters,
+        return _schur_lm_shard(
+            poses, local, iia[0], iib[0], isa[0], isb[0], isel[0], imask[0],
+            ssel, free_node,
+            cfg=cfg, model=model, kw=kw, num_iters=num_iters,
+            dtype=dtype, D=D, ni=ni, ns=ns, ek=ek,
         )
-        return poses, cost, cost0
 
     return run(
         poses0, prob.edges, prob.inc_int_a, prob.inc_int_b,
         prob.inc_sep_a, prob.inc_sep_b, prob.int_sel, prob.int_mask,
         prob.sep_sel, free.node,
     )
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh", "num_iters", "model"))
+def distributed_batched_schur_lm(
+    poses0: Array,
+    free: FreeMask,
+    prob: DistSchurProblem,
+    cfg: SolverConfig,
+    mesh: Mesh,
+    num_iters: int,
+    model=None,
+):
+    """Replica-DP batch of distributed Schur LMs over a 2-D mesh.
+
+    ``mesh`` has axes ``(REPLICA_AXIS, BLOCK_AXIS)``; ``prob`` carries a
+    leading batch axis B == replica count on every field (stacked
+    :func:`build_dist_problem` outputs padded to shared shapes) and
+    ``poses0`` is ``(B, N, pose_dim)``.  This is the reference's
+    Try1/Try2 Monte-Carlo usage pattern at pod scale: independent outlier
+    seeds across the replica axis (zero collectives -- the natural DCN
+    dimension) and the partitioned-Schur separator psums within each
+    replica riding the block axis (ICI).  Returns ``(poses, cost, cost0)``
+    with leading batch axes.
+    """
+    from slam_tpu.parallel.mesh import REPLICA_AXIS
+
+    model = model or SE2Model
+    if cfg.robust == "sc":
+        raise NotImplementedError("SC uses the single-device dense path")
+    dtype = jnp.dtype(cfg.dtype)
+    poses0 = poses0.astype(dtype)
+    D = model.tangent_dim
+    # Batched fields: int_sel (B, P, ni, N), sep_sel (B, ns, N),
+    # inc_int_a (B, P, ek, ni) -- the unbatched pytree properties do not
+    # apply here.
+    ni = prob.int_sel.shape[2]
+    ns = prob.sep_sel.shape[1]
+    ek = prob.inc_int_a.shape[2]
+    B = poses0.shape[0]
+    assert prob.int_sel.shape[0] == B, "problem batch != poses batch"
+    assert mesh.shape[REPLICA_AXIS] == B, (
+        f"replica mesh axis ({mesh.shape[REPLICA_AXIS]}) != batch ({B})"
+    )
+
+    kw = dict(
+        model=model, robust=cfg.robust, dcs_phi=cfg.dcs_phi,
+        huber_delta=cfg.huber_delta, sc_prior_lambda=cfg.sc_prior_lambda,
+    )
+
+    RB = P(REPLICA_AXIS, BLOCK_AXIS)
+    edge_specs = EdgeSet(
+        ij=RB, meas=RB, is_loop=RB, active=RB, info=RB, inc_a=RB, inc_b=RB,
+    )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(REPLICA_AXIS), edge_specs,
+            RB, RB, RB, RB, RB, RB, P(REPLICA_AXIS), P(),
+        ),
+        out_specs=(P(REPLICA_AXIS), P(REPLICA_AXIS), P(REPLICA_AXIS)),
+    )
+    def run(poses, edges_s, iia, iib, isa, isb, isel, imask, ssel, free_node):
+        # Leading axes on this shard: (1, 1, ...) for block-sharded fields,
+        # (1, ...) for replica-only fields.
+        local = jax.tree.map(lambda x: x[0, 0], edges_s)
+        poses_r, cost, cost0 = _schur_lm_shard(
+            poses[0], local, iia[0, 0], iib[0, 0], isa[0, 0], isb[0, 0],
+            isel[0, 0], imask[0, 0], ssel[0], free_node,
+            cfg=cfg, model=model, kw=kw, num_iters=num_iters,
+            dtype=dtype, D=D, ni=ni, ns=ns, ek=ek,
+        )
+        return poses_r[None], cost[None], cost0[None]
+
+    # DistSchurProblem fields with batch axis: (B, P, ...); sep_sel (B, ns, N).
+    return run(
+        poses0, prob.edges, prob.inc_int_a, prob.inc_int_b,
+        prob.inc_sep_a, prob.inc_sep_b, prob.int_sel, prob.int_mask,
+        prob.sep_sel, free.node,
+    )
+
+
+def build_dist_problem_batch(
+    graphs, num_blocks: int, dtype=jnp.float32
+) -> DistSchurProblem:
+    """Stack per-seed :func:`build_dist_problem` outputs (padded to shared
+    shapes) for :func:`distributed_batched_schur_lm`."""
+    stats = [dist_problem_stats(g, num_blocks) for g in graphs]
+    pad = tuple(max(s[i] for s in stats) for i in range(3))
+    probs = [
+        build_dist_problem(g, num_blocks, dtype=dtype, pad_shapes=pad)
+        for g in graphs
+    ]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *probs)

@@ -120,6 +120,51 @@ def test_distributed_schur_matches_single_device():
                                atol=1e-10)
 
 
+def test_replica_batched_schur_matches_per_seed():
+    """Replica-DP x block-parallel Schur on the 2-D (2 replicas x 4 blocks)
+    mesh: each replica solves its own outlier seed and must match the
+    1-D block-mesh solver run on that seed alone (pure DP adds no
+    collectives, so results are identical up to reduction order)."""
+    from slam_tpu.parallel.schur_dist import (
+        build_dist_problem,
+        build_dist_problem_batch,
+        distributed_batched_schur_lm,
+        distributed_schur_lm,
+    )
+    from slam_tpu.parallel.mesh import make_block_mesh, make_replica_block_mesh
+    from slam_tpu.io import synthetic as synth
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    base, _ = synth.circle_se2(n=96, seed=1)
+    graphs = [base.add_random_outliers(8, seed=s).canonical_order()
+              for s in (2, 7)]
+    dtype = jnp.float64
+    free = anchor_first_node(base.num_nodes, dtype=dtype)
+    cfg = SolverConfig(robust="dcs", linear_solver="dense", dtype="float64",
+                       use_pallas="off")
+
+    refs = []
+    mesh1 = make_block_mesh(4)
+    for g in graphs:
+        prob = build_dist_problem(g, 4, dtype=dtype)
+        refs.append(distributed_schur_lm(
+            jnp.asarray(g.poses, dtype), free, prob, cfg, mesh1, 6
+        ))
+
+    prob_b = build_dist_problem_batch(graphs, 4, dtype=dtype)
+    poses_b = jnp.stack([jnp.asarray(g.poses, dtype) for g in graphs])
+    mesh2 = make_replica_block_mesh(2, 4)
+    poses, cost, cost0 = distributed_batched_schur_lm(
+        poses_b, free, prob_b, cfg, mesh2, 6
+    )
+    for i, (rp, rc, rc0) in enumerate(refs):
+        np.testing.assert_allclose(float(cost0[i]), float(rc0), rtol=1e-12)
+        np.testing.assert_allclose(float(cost[i]), float(rc), rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(poses[i]), np.asarray(rp),
+                                   atol=1e-9)
+
+
 def test_dist_problem_edge_ownership():
     """Every edge lands on exactly one device shard."""
     from slam_tpu.parallel.schur_dist import build_dist_problem
