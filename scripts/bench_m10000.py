@@ -51,11 +51,15 @@ def run(spec: str) -> dict:
     sw0 = jnp.ones((edges.num_edges,), jnp.float32)
 
     partition = None
-    if kind in ("schur", "schuropt"):
+    if kind in ("schur", "schuropt", "schurgnc"):
         # ``schuropt:P`` places the block cuts with the span-minimising DP
         # (optimize_cut_positions) instead of equal-size slicing.
+        # ``schurgnc:P`` = equal cuts + graduated non-convexity (phi
+        # annealed over the first 2/3 of the iterations).
+        gnc = dict(gnc_anneal_iters=LM_ITERS * 2 // 3) \
+            if kind == "schurgnc" else {}
         cfg = SolverConfig(robust="dcs", linear_solver="schur",
-                           dtype="float32")
+                           dtype="float32", **gnc)
         partition = build_partition(dirty.edges_ij, dirty.num_nodes, blocks,
                                     dtype=jnp.float32,
                                     optimize_cuts=(kind == "schuropt"))
@@ -78,15 +82,22 @@ def run(spec: str) -> dict:
     CHUNK = 10
 
     @jax.jit
-    def solve(p, s, e, part):
-        r = lm_fixed_iters(p, s, e, free, cfg, CHUNK, partition=part)
-        return r.poses, r.switches, r.cost, r.initial_cost
+    def solve(p, s, e, part, lam0, it0):
+        r = lm_fixed_iters(p, s, e, free, cfg, CHUNK, partition=part,
+                           lam0=lam0, it0=it0)
+        return (r.poses, r.switches, r.cost, r.initial_cost,
+                r.final_lambda, r.iterations)
 
     def full(p):
         s = sw0
         cost0 = None
+        # Thread (lambda, iteration) through the chunks: continuous trust
+        # region and a continuous GNC anneal position (a per-chunk lambda
+        # reset is a different algorithm).
+        lam = jnp.asarray(cfg.init_lambda, jnp.float32)
+        it = jnp.int32(0)
         for _ in range(LM_ITERS // CHUNK):
-            p, s, cost, c0 = solve(p, s, edges, partition)
+            p, s, cost, c0, lam, it = solve(p, s, edges, partition, lam, it)
             cost0 = float(c0) if cost0 is None else cost0
         return float(jax.device_get(cost)), cost0
 

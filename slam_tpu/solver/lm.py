@@ -59,6 +59,10 @@ class LMResult(NamedTuple):
     accepted: Array
     converged: Array
     lin_iters: Array
+    # Final damping state -- thread back in via lm_fixed_iters(lam0=, it0=)
+    # to continue a chunked solve without resetting the trust region (or
+    # the GNC anneal position).
+    final_lambda: Array | None = None
 
 
 def _pallas_flags(cfg: SolverConfig) -> dict:
@@ -222,6 +226,7 @@ def lm_solve(
         accepted=out.accepted,
         converged=out.converged,
         lin_iters=out.lin_iters,
+        final_lambda=out.lam,
     )
 
 
@@ -235,10 +240,16 @@ def lm_fixed_iters(
     num_iters: int,
     model=None,
     partition=None,
+    lam0: Array | None = None,
+    it0: Array | None = None,
 ) -> LMResult:
     """Exactly ``num_iters`` LM iterations via ``lax.scan`` (benchmarking and
     the short inner solves of methods 3/4, which cap Ceres at 1-2 iterations,
-    e.g. ``layer_manager.cpp:642``)."""
+    e.g. ``layer_manager.cpp:642``).
+
+    ``lam0``/``it0`` continue a chunked solve from a previous result's
+    ``final_lambda``/``iterations`` instead of restarting the trust region
+    (required for GNC, whose phi schedule keys off the iteration index)."""
     model = model or SE2Model
     dtype = jnp.dtype(cfg.dtype)
     poses0 = poses0.astype(dtype)
@@ -288,9 +299,10 @@ def lm_fixed_iters(
         poses=poses0,
         switches=switches0,
         cost=cost0,
-        lam=jnp.asarray(cfg.init_lambda, dtype),
+        lam=(jnp.asarray(cfg.init_lambda, dtype) if lam0 is None
+             else jnp.asarray(lam0, dtype)),
         nu=jnp.asarray(2.0, dtype),
-        it=jnp.int32(0),
+        it=jnp.int32(0) if it0 is None else jnp.asarray(it0, jnp.int32),
         accepted=jnp.int32(0),
         converged=jnp.asarray(False),
         lin_iters=jnp.int32(0),
@@ -305,4 +317,5 @@ def lm_fixed_iters(
         accepted=out.accepted,
         converged=out.converged,
         lin_iters=out.lin_iters,
+        final_lambda=out.lam,
     )

@@ -165,6 +165,23 @@ def test_replica_batched_schur_matches_per_seed():
                                    atol=1e-9)
 
 
+def test_init_multihost_noop_and_explicit():
+    """Single-host: no coordinator configured -> no-op returning False;
+    explicit single-process initialize joins and reports 1 process."""
+    from slam_tpu.parallel.mesh import init_multihost
+
+    assert init_multihost() is False  # nothing configured -> local mode
+    # Explicit 1-process bootstrap (the multi-host code path, degenerate).
+    try:
+        active = init_multihost("localhost:29765", 1, 0)
+    except Exception as e:  # environment without the service  # noqa: BLE001
+        pytest.skip(f"jax.distributed unavailable here: {e}")
+    assert active is False  # one process is not distributed
+    assert jax.process_count() == 1
+    # Second call is a no-op.
+    assert init_multihost("localhost:29765", 1, 0) is False
+
+
 def test_dist_problem_edge_ownership():
     """Every edge lands on exactly one device shard."""
     from slam_tpu.parallel.schur_dist import build_dist_problem
