@@ -75,24 +75,33 @@ class CheckpointingSolver:
 
         poses, switches = poses0, switches0
         start = 0
+        lam = float(cfg.init_lambda)
         if resume and os.path.exists(self.path):
             state, meta = load_checkpoint(self.path)
             if meta.get("total_iters") == total_iters:
                 poses = jnp.asarray(state["poses"])
                 switches = jnp.asarray(state["switches"])
                 start = int(state["iteration"])
+                # Older checkpoints stored lam=0.0 (chunked runs then
+                # restarted the trust region); treat 0 as "use init".
+                lam = float(state.get("lam", 0.0)) or float(cfg.init_lambda)
 
         it = start
         res = None  # None when resuming at completion (no chunks to run)
         while it < total_iters:
             n = min(self.chunk_iters, total_iters - it)
+            # lam0/it0 continue ONE LM trajectory across chunks/restarts
+            # (trust region and GNC anneal position both persist).
             res = lm_fixed_iters(poses, switches, edges, free, cfg, n,
-                                 model=model)
+                                 model=model,
+                                 lam0=jnp.asarray(lam, poses.dtype),
+                                 it0=jnp.int32(it))
             poses, switches = res.poses, res.switches
+            lam = float(res.final_lambda)
             it += n
             save_checkpoint(
                 self.path,
-                lm_state_dict(poses, switches, 0.0, it, float(res.cost)),
+                lm_state_dict(poses, switches, lam, it, float(res.cost)),
                 meta={"total_iters": total_iters},
             )
         return poses, switches, res

@@ -81,10 +81,10 @@ def test_checkpointing_solver_resumes(tmp_path, circle):
     # Resume at completion is a no-op returning the checkpointed state.
     np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), atol=1e-12)
 
-    # Compare against an uninterrupted run of the same chunked schedule.
-    r = lm_fixed_iters(poses0, sw0, edges, free, cfg, 4)
-    r = lm_fixed_iters(r.poses, r.switches, edges, free, cfg, 4)
-    r = lm_fixed_iters(r.poses, r.switches, edges, free, cfg, 4)
+    # lam0/it0 threading makes the chunked run ONE continuous LM
+    # trajectory: it must match a single unbroken 12-iteration call
+    # exactly (previously each chunk restarted the trust region).
+    r = lm_fixed_iters(poses0, sw0, edges, free, cfg, 12)
     np.testing.assert_allclose(np.asarray(p1), np.asarray(r.poses), atol=1e-12)
 
 
