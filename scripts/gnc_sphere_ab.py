@@ -37,10 +37,14 @@ def run(spec: str) -> dict:
     from slam_tpu.solver.schur import build_partition
     from bench_sphere import _dirty_sphere
 
-    k, scale, iters = spec.split(":")
-    k, scale, iters = int(k), float(scale), int(iters)
+    parts = spec.split(":")
+    k, scale, iters = int(parts[0]), float(parts[1]), int(parts[2])
+    chordal = len(parts) > 3 and parts[3] == "chordal"
 
     dirty = _dirty_sphere(20)
+    if chordal:
+        from slam_tpu.solver.init import chordal_init
+        dirty = chordal_init(dirty)
     gt = np.load("data/sphere2500_gt.npy")
     d = jnp.float32
     edges = edge_set_from_graph(dirty, dtype=d, incidence="chain")

@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "iterations (0 = off, the reference behaviour)")
     p.add_argument("--gnc-scale", type=float, default=1e4,
                    help="initial phi multiplier for --gnc-iters")
+    p.add_argument("--init", default="dataset",
+                   choices=["dataset", "chordal"],
+                   help="initial guess: dataset vertex estimates (the "
+                        "reference behaviour) or chordal rotation-first "
+                        "initialization (for rotation-corrupted graphs "
+                        "like M3500b/c)")
     p.add_argument("--huber-delta", type=float, default=0.01)
     p.add_argument("--sc-lambda", type=float, default=1.0)
     p.add_argument("--sc-varpro", action="store_true",
@@ -122,6 +128,7 @@ def config_from_args(args) -> RunConfig:
         method=args.method,
         seed=args.seed,
         save_path=args.save_path,
+        init=getattr(args, "init", "dataset"),
         solver=solver,
         layering=LayeringConfig(**_fused_overrides(args)),
         mcts=MctsConfig(**_fused_overrides(args)),

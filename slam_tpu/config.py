@@ -143,6 +143,11 @@ class RunConfig:
     method: int = METHOD_BASELINE
     seed: int = 0
     save_path: str = "save"
+    # Initial guess: "dataset" = the g2o vertex estimates (the reference's
+    # behaviour, g2o_util.h:37-47); "chordal" = rotation-first linear
+    # initialization (solver/init.py) -- required for rotation-corrupted
+    # graphs like M3500b/M3500c.
+    init: str = "dataset"
     solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
     layering: LayeringConfig = dataclasses.field(default_factory=LayeringConfig)
     mcts: MctsConfig = dataclasses.field(default_factory=MctsConfig)

@@ -1,0 +1,252 @@
+"""Chordal (rotation-first) initialization.
+
+The reference initializes from the dataset's vertex estimates -- i.e. from
+integrated odometry (``g2o_util.h:37-47``).  On rotation-noise-corrupted
+graphs (M3500b/M3500c, named at ``main.cpp:23``) that guess is tens of
+meters off and plain LM -- and even GNC-annealed DCS -- converges to a bad
+basin (measured: ATE 26 m plain / 9-19 m GNC, results/README.md).  The
+standard fix (Carlone et al., "Initialization techniques for 3D SLAM") is
+to solve the ROTATION subproblem first, which is linear in the chordal
+(matrix-element) parametrization, then initialize translations by a second
+linear solve with rotations fixed.
+
+Both stages are weighted graph-Laplacian least squares, solved here with
+Jacobi-preconditioned CG on the host in f64 (a one-time O(E) preprocessing
+step like parsing; the iteration count is a few hundred on M3500-class
+graphs, milliseconds of numpy).  Optional IRLS rounds downweight edges
+with large rotation residuals so injected bogus loops do not poison the
+init (Huber on the chordal residual).
+
+SE(2): unknowns r_i = (cos t_i, sin t_i); edge residual r_b - M(t_ab) r_a
+with M a rotation matrix, so the normal-equation blocks are w*I and
+-w*M -- an O(E) matvec.  SE(3): unknowns X_i in R^{3x3}; residual
+X_b - X_a R_ab; solutions projected to SO(3)/unit circle afterwards.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from slam_tpu.graph import ODOMETRY_EDGE, PoseGraph
+
+_ANCHOR_W = 1e6
+
+
+def _cg(matvec, b, diag, iters: int, rtol: float):
+    """Jacobi-preconditioned conjugate gradients (host numpy, f64)."""
+    x = np.zeros_like(b)
+    r = b - matvec(x)
+    z = r / diag
+    p = z.copy()
+    rz = float(np.sum(r * z))
+    b2 = float(np.sum(b * b)) or 1.0
+    for _ in range(iters):
+        Ap = matvec(p)
+        alpha = rz / float(np.sum(p * Ap))
+        x += alpha * p
+        r -= alpha * Ap
+        if float(np.sum(r * r)) <= rtol * rtol * b2:
+            break
+        z = r / diag
+        rz_new = float(np.sum(r * z))
+        p = z + (rz_new / rz) * p
+        rz = rz_new
+    return x
+
+
+def _laplacian_solve(n, a_idx, b_idx, w, rot_ab, rhs, anchor_val,
+                     iters, rtol):
+    """Solve the chordal normal equations.
+
+    Unknowns ``x (n, K)`` (rows of the rotation parametrization, or
+    translations with ``rot_ab=None``).  Per edge: residual
+    ``x_b - x_a @ rot_ab_e`` (identity rotation when None), plus a strong
+    anchor prior on node 0.
+    """
+    K = rhs.shape[1]
+    deg = np.zeros((n,), np.float64)
+    np.add.at(deg, a_idx, w)
+    np.add.at(deg, b_idx, w)
+    diag = np.repeat(deg[:, None], K, axis=1)
+    diag[0] += _ANCHOR_W
+    diag = np.maximum(diag, 1e-12)
+
+    def matvec(x):
+        y = np.zeros_like(x)
+        xa = x[a_idx]
+        xb = x[b_idx]
+        if rot_ab is None:
+            ya = w[:, None] * (xa - xb)
+            yb = -ya
+        else:
+            # Residual r_e = x_b - x_a @ A_e with A_e orthogonal, so the
+            # normal-equation blocks simplify to w*I and -w*A:
+            #   y_a = w (x_a - x_b @ A^T),  y_b = w (x_b - x_a @ A)
+            ya = w[:, None] * (xa - np.einsum("ek,ejk->ej", xb, rot_ab))
+            yb = w[:, None] * (xb - np.einsum("ek,ekj->ej", xa, rot_ab))
+        np.add.at(y, a_idx, ya)
+        np.add.at(y, b_idx, yb)
+        y[0] += _ANCHOR_W * x[0]
+        return y
+
+    b = rhs.copy()
+    b[0] += _ANCHOR_W * anchor_val
+    return _cg(matvec, b, diag, iters, rtol)
+
+
+def _rot2(t):
+    c, s = np.cos(t), np.sin(t)
+    return np.stack([np.stack([c, -s], -1), np.stack([s, c], -1)], -2)
+
+
+def _quat_to_mat(q):
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return np.stack([
+        np.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                  2 * (x * z + w * y)], -1),
+        np.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+                  2 * (y * z - w * x)], -1),
+        np.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
+                  1 - 2 * (x * x + y * y)], -1),
+    ], -2)
+
+
+def _mat_to_quat(R):
+    """Batch rotation-matrix -> quaternion (w, x, y, z), numerically safe."""
+    m = R
+    t = np.trace(m, axis1=-2, axis2=-1)
+    q = np.zeros(m.shape[:-2] + (4,), np.float64)
+    # Shepperd's method, vectorised over the four cases.
+    c0 = t >= 0
+    s = np.sqrt(np.maximum(t + 1.0, 1e-12)) * 2
+    q0 = np.stack([
+        s / 4,
+        (m[..., 2, 1] - m[..., 1, 2]) / s,
+        (m[..., 0, 2] - m[..., 2, 0]) / s,
+        (m[..., 1, 0] - m[..., 0, 1]) / s,
+    ], -1)
+    for i in range(3):
+        j, k = (i + 1) % 3, (i + 2) % 3
+        ci = (~c0) & (m[..., i, i] >= m[..., j, j]) & (m[..., i, i] >= m[..., k, k])
+        si = np.sqrt(np.maximum(1.0 + m[..., i, i] - m[..., j, j]
+                                - m[..., k, k], 1e-12)) * 2
+        qi = np.zeros_like(q0)
+        qi[..., 0] = (m[..., k, j] - m[..., j, k]) / si
+        qi[..., 1 + i] = si / 4
+        qi[..., 1 + j] = (m[..., j, i] + m[..., i, j]) / si
+        qi[..., 1 + k] = (m[..., k, i] + m[..., i, k]) / si
+        q = np.where(ci[..., None], qi, q)
+    q = np.where(c0[..., None], q0, q)
+    return q / np.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def _project_so3(X):
+    u, _, vt = np.linalg.svd(X)
+    R = u @ vt
+    det = np.linalg.det(R)
+    u2 = u.copy()
+    u2[..., :, 2] *= np.sign(det)[..., None]
+    return u2 @ vt
+
+
+def chordal_init(
+    graph: PoseGraph,
+    huber_irls_rounds: int = 1,
+    huber_delta: float = 0.1,
+    cg_iters: int = 1500,
+    cg_rtol: float = 1e-10,
+) -> PoseGraph:
+    """Return the graph with poses replaced by the chordal initialization.
+
+    ``huber_irls_rounds`` re-solves the rotation stage with Huber weights
+    on the chordal residual norms (protects against bogus loop closures;
+    0 = plain least squares).
+    """
+    g = graph
+    ij = np.asarray(g.edges_ij)
+    a_idx, b_idx = ij[:, 0], ij[:, 1]
+    n = g.num_nodes
+    meas = np.asarray(g.edges_meas, np.float64)
+    w = np.ones((ij.shape[0],), np.float64)
+
+    if g.dim == 3:
+        # Row convention (r as a row vector): r_b = r_a @ M(t_ab)^T, so the
+        # edge operator A_e is the transposed rotation matrix.
+        rot = np.transpose(_rot2(meas[:, 2]), (0, 2, 1))  # (E, 2, 2)
+        anchor_r = np.array([np.cos(g.poses[0, 2]), np.sin(g.poses[0, 2])])
+        K = 2
+    else:
+        rot = _quat_to_mat(meas[:, 3:7])                 # (E, 3, 3)
+        anchor_R = _quat_to_mat(np.asarray(g.poses[0, 3:7], np.float64))
+        K = 3
+
+    def solve_rot(w_):
+        if g.dim == 3:
+            x = _laplacian_solve(
+                n, a_idx, b_idx, w_, rot,
+                np.zeros((n, K)), anchor_r, cg_iters, cg_rtol)
+            return x
+        # SE(3): three independent row problems share the same operator;
+        # solve rows jointly as (n, 9) with a block-diagonal action.
+        rows = []
+        for i in range(3):
+            rows.append(_laplacian_solve(
+                n, a_idx, b_idx, w_, rot,
+                np.zeros((n, 3)), anchor_R[i], cg_iters, cg_rtol))
+        return np.stack(rows, axis=1)                    # (n, 3, 3)
+
+    loop = np.asarray(g.edge_type) != ODOMETRY_EDGE
+
+    def residual_norm(x):
+        if g.dim == 3:
+            res = x[b_idx] - np.einsum("ek,ekj->ej", x[a_idx], rot)
+        else:
+            res = x[b_idx] - np.einsum("eik,ekj->eij", x[a_idx], rot)
+            res = res.reshape(res.shape[0], -1)
+        return np.linalg.norm(res, axis=-1)
+
+    if huber_irls_rounds > 0:
+        # Bootstrap from odometry only (the trusted edge class,
+        # g2o_util.h:68): a plain LS over ALL edges is already poisoned
+        # when bogus loops outnumber real closures, and IRLS started from
+        # it downweights good and bad closures alike.  The odometry chain
+        # gives an honest (if drifty) rotation field to judge closures
+        # against; odometry edges are never reweighted.
+        x = solve_rot(np.where(loop, 0.0, 1.0))
+        for _ in range(huber_irls_rounds):
+            rn = residual_norm(x)
+            # Geman-McClure: far stronger outlier suppression than
+            # Huber's 1/r tail (a bogus loop with chordal residual ~1
+            # gets weight ~delta^2).
+            w = np.where(loop, huber_delta**2 / (huber_delta**2 + rn**2),
+                         1.0)
+            x = solve_rot(w)
+    else:
+        x = solve_rot(w)
+
+    poses = np.asarray(g.poses, np.float64).copy()
+    if g.dim == 3:
+        theta = np.arctan2(x[:, 1], x[:, 0])
+        R_nodes = _rot2(theta)                           # (n, 2, 2)
+        t_local = meas[:, :2]
+        poses[:, 2] = theta
+    else:
+        R_nodes = _project_so3(x)                        # (n, 3, 3)
+        t_local = meas[:, :3]
+        poses[:, 3:7] = _mat_to_quat(R_nodes)
+
+    # Translation stage: p_b - p_a = R_a t_ab with rotations fixed.  The
+    # Laplacian is shift-invariant, so solve with the anchor at 0 (keeps
+    # the huge anchor prior out of the CG residual scale) and add the true
+    # anchor position back.
+    d = np.einsum("eij,ej->ei", R_nodes[a_idx], t_local)
+    rhs = np.zeros((n, t_local.shape[1]), np.float64)
+    np.add.at(rhs, a_idx, -w[:, None] * d)
+    np.add.at(rhs, b_idx, w[:, None] * d)
+    p = _laplacian_solve(
+        n, a_idx, b_idx, w, None, rhs,
+        np.zeros((t_local.shape[1],)), cg_iters, cg_rtol)
+    poses[:, : t_local.shape[1]] = p + poses[0, : t_local.shape[1]][None, :]
+
+    import dataclasses
+    return dataclasses.replace(g, poses=poses)

@@ -219,3 +219,36 @@ def test_sc_varpro_rejects_outliers(circle, circle_outliers):
                  base.replace(robust="none")).poses, gt))
     assert ate_vp < 2 * ate_clean, (ate_vp, ate_clean)
     assert ate_vp < ate_sc / 10
+
+
+def test_chordal_init_exact_on_noiseless_graph():
+    """Chordal initialization (solver/init.py) recovers a noise-free graph
+    exactly: rotations from the linear chordal stage, translations from the
+    second linear solve -- both to CG tolerance."""
+    from slam_tpu.io import synthetic
+    from slam_tpu.solver.init import chordal_init
+    import dataclasses
+
+    g, gt = synthetic.circle_se2(n=48, odo_noise=(0.0, 0.0),
+                                 num_closures=8, seed=0)
+    # Corrupt the initial guess badly; measurements stay exact.
+    bad = np.asarray(g.poses).copy()
+    bad[1:, 2] += np.random.default_rng(1).normal(0, 2.0, 47)
+    bad[1:, :2] += 30.0
+    ini = chordal_init(dataclasses.replace(g, poses=bad),
+                       huber_irls_rounds=0)
+    np.testing.assert_allclose(np.asarray(ini.poses)[:, :2], gt[:, :2],
+                               atol=1e-6)
+
+
+def test_chordal_init_robust_to_bogus_loops(circle_outliers):
+    """The Huber IRLS rounds keep injected bogus closures from poisoning
+    the rotation stage."""
+    from slam_tpu.solver.init import chordal_init
+
+    dirty, gt = circle_outliers
+    ini = chordal_init(dirty, huber_irls_rounds=2)
+    ate = float(se2.ate(jnp.asarray(np.asarray(ini.poses)), jnp.asarray(gt)))
+    ate0 = float(se2.ate(jnp.asarray(np.asarray(dirty.poses)),
+                         jnp.asarray(gt)))
+    assert ate < max(1.0, ate0), (ate, ate0)
