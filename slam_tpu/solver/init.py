@@ -215,11 +215,28 @@ def chordal_init(
         x = solve_rot(np.where(loop, 0.0, 1.0))
         for _ in range(huber_irls_rounds):
             rn = residual_norm(x)
+            # Scale the suppression threshold by the loop-residual
+            # distribution (median + 3 robust sigmas): on a noisy-odometry
+            # graph with CLEAN closures every closure disagrees with the
+            # drifted odometry-only bootstrap, and a fixed small delta
+            # would suppress them all (leaving the init odometry-only --
+            # the failure it exists to fix).  True outliers sit far above
+            # the bulk and still get killed.
+            rl = rn[loop]
+            if rl.size:
+                # Anchor on the best-quartile residual: robust to a
+                # MAJORITY of bogus loops (median-based scales are not --
+                # with >50% outliers the median IS an outlier residual),
+                # while still keeping clean-but-drift-disagreeing closures
+                # alive on noisy-odometry graphs where every loop residual
+                # is large.
+                delta = max(huber_delta, 3.0 * float(np.quantile(rl, 0.25)))
+            else:
+                delta = huber_delta
             # Geman-McClure: far stronger outlier suppression than
             # Huber's 1/r tail (a bogus loop with chordal residual ~1
             # gets weight ~delta^2).
-            w = np.where(loop, huber_delta**2 / (huber_delta**2 + rn**2),
-                         1.0)
+            w = np.where(loop, delta**2 / (delta**2 + rn**2), 1.0)
             x = solve_rot(w)
     else:
         x = solve_rot(w)
