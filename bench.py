@@ -54,7 +54,7 @@ def main() -> int:
     from slam_tpu.io import g2o
     from slam_tpu.solver.lm import lm_fixed_iters
     from slam_tpu.solver.problem import anchor_first_node, edge_set_from_graph
-    from slam_tpu.solver.schur import build_partition
+    from slam_tpu.solver.schur import build_partition, partition_stats
 
     graph = g2o.load_g2o(g2o.find_dataset(DATASET))
     dirties = [
@@ -65,17 +65,13 @@ def main() -> int:
         edge_set_from_graph(g, dtype=jnp.float32, incidence=True)
         for g in dirties
     ]
-    raws = [
-        build_partition(g.edges_ij, g.num_nodes, NUM_BLOCKS,
-                        dtype=jnp.float32)
+    # partition_stats gives the shared pad maxima without materialising
+    # the (hundreds-of-MB at scale) selection operators twice per seed.
+    stats = [
+        partition_stats(g.edges_ij, g.num_nodes, NUM_BLOCKS)
         for g in dirties
     ]
-    pad = (
-        max(p.ni_max for p in raws),
-        max(p.ns for p in raws),
-        max(p.ek_max for p in raws),
-        max(p.es_max for p in raws),
-    )
+    pad = tuple(max(s[i] for s in stats) for i in range(4))
     parts = [
         build_partition(g.edges_ij, g.num_nodes, NUM_BLOCKS,
                         dtype=jnp.float32, pad_shapes=pad)

@@ -82,22 +82,24 @@ def run(spec: str) -> dict:
     CHUNK = 10
 
     @jax.jit
-    def solve(p, s, e, part, lam0, it0):
+    def solve(p, s, e, part, lam0, nu0, it0):
         r = lm_fixed_iters(p, s, e, free, cfg, CHUNK, partition=part,
-                           lam0=lam0, it0=it0)
+                           lam0=lam0, nu0=nu0, it0=it0)
         return (r.poses, r.switches, r.cost, r.initial_cost,
-                r.final_lambda, r.iterations)
+                r.final_lambda, r.final_nu, r.iterations)
 
     def full(p):
         s = sw0
         cost0 = None
-        # Thread (lambda, iteration) through the chunks: continuous trust
-        # region and a continuous GNC anneal position (a per-chunk lambda
+        # Thread (lambda, nu, iteration) through the chunks: continuous
+        # trust region and a continuous GNC anneal position (a per-chunk
         # reset is a different algorithm).
         lam = jnp.asarray(cfg.init_lambda, jnp.float32)
+        nu = jnp.asarray(2.0, jnp.float32)
         it = jnp.int32(0)
         for _ in range(LM_ITERS // CHUNK):
-            p, s, cost, c0, lam, it = solve(p, s, edges, partition, lam, it)
+            p, s, cost, c0, lam, nu, it = solve(
+                p, s, edges, partition, lam, nu, it)
             cost0 = float(c0) if cost0 is None else cost0
         return float(jax.device_get(cost)), cost0
 

@@ -41,10 +41,19 @@ def m3500_variant(noise_std: float, seed: int):
     for (a, b), m in zip(base.edges_ij[odo], meas[odo]):
         if b == a + 1:
             chain[int(a)] = m
+
+    def rel_from_poses(pa, pb):
+        # Original relative motion for chain gaps, so accumulated drift
+        # carries across the gap instead of snapping back to the original
+        # absolute estimate.
+        c, s = np.cos(pa[2]), np.sin(pa[2])
+        dx, dy = pb[0] - pa[0], pb[1] - pa[1]
+        return np.array([c * dx + s * dy, -s * dx + c * dy, pb[2] - pa[2]])
+
     for a in range(base.num_nodes - 1):
         m = chain.get(a)
-        if m is None:  # gap: keep the original relative motion
-            continue
+        if m is None:  # gap: compose the original relative motion
+            m = rel_from_poses(base.poses[a], base.poses[a + 1])
         x, y, t = poses[a]
         c, s = np.cos(t), np.sin(t)
         poses[a + 1, 0] = x + c * m[0] - s * m[1]

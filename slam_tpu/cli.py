@@ -235,10 +235,8 @@ def _run_checkpointed(cfg, ckpt_path):
     logger = RunLogger(os.path.join(cfg.save_path, f"method{cfg.method}.log"))
     graph = g2o_io.load_g2o(g2o_io.find_dataset(cfg.dataset))
     graph = graph.add_random_outliers(cfg.num_outliers, seed=cfg.seed)
-    if getattr(cfg, "init", "dataset") == "chordal":
-        from slam_tpu.solver.init import chordal_init
-        graph = chordal_init(graph)
-        logger.log("init", kind="chordal")
+    from slam_tpu.solver.init import apply_init
+    graph = apply_init(graph, cfg, logger)
     g2o_io.write_nodes(os.path.join(cfg.save_path, "init_nodes.txt"),
                        graph.poses)
     g2o_io.write_edges(os.path.join(cfg.save_path, "init_edges.txt"), graph)

@@ -65,13 +65,8 @@ def run_global_solve(
     dtype = jnp.dtype(scfg.dtype)
     model = SE3Model if graph.dim == 7 else SE2Model
 
-    canon = graph.canonical_order()
-    if getattr(cfg, "init", "dataset") == "chordal":
-        from slam_tpu.solver.init import chordal_init
-        t_init = time.perf_counter()
-        canon = chordal_init(canon)
-        logger.log("init", kind="chordal",
-                   wall_s=round(time.perf_counter() - t_init, 3))
+    from slam_tpu.solver.init import apply_init
+    canon = apply_init(graph.canonical_order(), cfg, logger)
     # Bucket-pad the edge count so sweeps over outlier counts (E changes by
     # a few dozen) reuse one compiled program; inactive padding is free.
     pad_to = -(-canon.num_edges // 256) * 256

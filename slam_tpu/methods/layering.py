@@ -426,10 +426,8 @@ def run_from_config(cfg: RunConfig, fused: str = "auto",
     logger = RunLogger(os.path.join(cfg.save_path, "method3.log"))
     graph = g2o.load_g2o(g2o.find_dataset(cfg.dataset))
     graph = graph.add_random_outliers(cfg.num_outliers, seed=cfg.seed)
-    if getattr(cfg, "init", "dataset") == "chordal":
-        from slam_tpu.solver.init import chordal_init
-        graph = chordal_init(graph)
-        logger.log("init", kind="chordal")
+    from slam_tpu.solver.init import apply_init
+    graph = apply_init(graph, cfg, logger)
 
     g2o.write_nodes(os.path.join(cfg.save_path, "init_nodes.txt"), graph.poses)
     g2o.write_edges(os.path.join(cfg.save_path, "init_edges.txt"), graph)

@@ -82,14 +82,14 @@ class DistSchurProblem(NamedTuple):
         return self.inc_int_a.shape[1]
 
 
-def dist_problem_stats(
-    graph: PoseGraph, num_blocks: int
-) -> tuple[int, int, int]:
-    """Natural ``(ni, ns, ek)`` of :func:`build_dist_problem` -- use to
-    compute shared ``pad_shapes`` across problems (e.g. outlier seeds)."""
-    g = graph.canonical_order()
+def _assign_dist(g: PoseGraph, num_blocks: int):
+    """Shared node/edge assignment for the distributed problem builder:
+    ``(node_block, sep_ids, interior_ids, per_block_edges)``.  One source
+    of truth so :func:`dist_problem_stats` can never desync from
+    :func:`build_dist_problem`."""
     ij = g.edges_ij
     n = g.num_nodes
+    E = g.num_edges
     block_size = -(-n // num_blocks)
     node_block = np.minimum(np.arange(n) // block_size, num_blocks - 1)
     ba, bb = node_block[ij[:, 0]], node_block[ij[:, 1]]
@@ -98,20 +98,35 @@ def dist_problem_stats(
     sep[ij[cross, 0]] = True
     sep[ij[cross, 1]] = True
     sep[0] = True
-    ns = int(sep.sum())
-    interior = (~sep).astype(np.int64)
-    ni = max(1, int(np.bincount(node_block, weights=interior,
-                                minlength=num_blocks).max()))
-    owner = np.full(ij.shape[0], -1)
+
+    sep_ids = np.where(sep)[0]
+    interior_ids = [
+        np.where((node_block == k) & ~sep)[0] for k in range(num_blocks)
+    ]
+
+    owner = np.full(E, -1)
     a_int = ~sep[ij[:, 0]]
     b_int = ~sep[ij[:, 1]]
     owner[a_int] = ba[a_int]
     sel = b_int & (owner < 0)
     owner[sel] = bb[sel]
+    # Pure-separator edges: deal them round-robin across devices.
     pure = np.where(owner < 0)[0]
     owner[pure] = np.arange(len(pure)) % num_blocks
-    ek = max(1, int(np.bincount(owner, minlength=num_blocks).max()))
-    return ni, ns, ek
+    per_block = [np.where(owner == k)[0] for k in range(num_blocks)]
+    return node_block, sep_ids, interior_ids, per_block
+
+
+def dist_problem_stats(
+    graph: PoseGraph, num_blocks: int
+) -> tuple[int, int, int]:
+    """Natural ``(ni, ns, ek)`` of :func:`build_dist_problem` -- use to
+    compute shared ``pad_shapes`` across problems (e.g. outlier seeds)."""
+    g = graph.canonical_order()
+    _, sep_ids, interior_ids, per_block = _assign_dist(g, num_blocks)
+    ni = max(1, max(len(x) for x in interior_ids))
+    ek = max(1, max(len(x) for x in per_block))
+    return ni, len(sep_ids), ek
 
 
 def build_dist_problem(
@@ -130,41 +145,19 @@ def build_dist_problem(
     g = graph.canonical_order()
     ij = g.edges_ij
     n = g.num_nodes
-    E = g.num_edges
 
-    block_size = -(-n // num_blocks)
-    node_block = np.minimum(np.arange(n) // block_size, num_blocks - 1)
-    ba, bb = node_block[ij[:, 0]], node_block[ij[:, 1]]
-    sep = np.zeros(n, bool)
-    cross = ba != bb
-    sep[ij[cross, 0]] = True
-    sep[ij[cross, 1]] = True
-    sep[0] = True
-
-    sep_ids = np.where(sep)[0]
+    node_block, sep_ids, interior_ids, per_block = _assign_dist(
+        g, num_blocks
+    )
     ns = len(sep_ids)
     sep_slot = np.full(n, -1)
     sep_slot[sep_ids] = np.arange(ns)
 
-    interior_ids = [
-        np.where((node_block == k) & ~sep)[0] for k in range(num_blocks)
-    ]
     ni = max(1, max(len(x) for x in interior_ids))
     int_slot = np.full(n, -1)
     for k, ids in enumerate(interior_ids):
         int_slot[ids] = np.arange(len(ids))
 
-    owner = np.full(E, -1)
-    a_int = ~sep[ij[:, 0]]
-    b_int = ~sep[ij[:, 1]]
-    owner[a_int] = ba[a_int]
-    sel = b_int & (owner < 0)
-    owner[sel] = bb[sel]
-    # Pure-separator edges: deal them round-robin across devices.
-    pure = np.where(owner < 0)[0]
-    owner[pure] = np.arange(len(pure)) % num_blocks
-
-    per_block = [np.where(owner == k)[0] for k in range(num_blocks)]
     ek = max(1, max(len(x) for x in per_block))
 
     if pad_shapes is not None:
@@ -318,7 +311,7 @@ def _schur_lm_shard(
 
         # Separator reduction over the ICI.
         S = jax.lax.psum(C_l - _mm(F.T, Y), BLOCK_AXIS)
-        rhs = jax.lax.psum(b_s_l - F.T @ y, BLOCK_AXIS)
+        rhs = jax.lax.psum(b_s_l - _mm(F.T, y), BLOCK_AXIS)
         damp_sep = _mm(ssel, dampv).T.reshape(-1)
         # Pin gauge slots AND padded separator slots (all-zero sel rows,
         # present when problems are padded to shared shapes).
@@ -331,7 +324,9 @@ def _schur_lm_shard(
 
         Ls = jax.scipy.linalg.cho_factor(S, lower=True)
         x_sep = jax.scipy.linalg.cho_solve(Ls, rhs)
-        x_int = (y - Y @ x_sep) * s_int
+        # precision-pinned like solver/schur.py's back-substitution: TPU
+        # f32 matmul defaults to bf16 passes (CLAUDE.md rule).
+        x_int = (y - _mm(Y, x_sep)) * s_int
         x_sep = x_sep * s_sep
 
         dx_sep = _mm(ssel.T, x_sep.reshape(D, ns).T)

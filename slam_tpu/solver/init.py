@@ -267,3 +267,18 @@ def chordal_init(
 
     import dataclasses
     return dataclasses.replace(g, poses=poses)
+
+
+def apply_init(graph: PoseGraph, cfg, logger=None) -> PoseGraph:
+    """Apply the configured initial-guess strategy (RunConfig.init) --
+    the single entry point every pipeline (global solve, methods 3/4,
+    checkpointed CLI driver) routes through."""
+    if getattr(cfg, "init", "dataset") != "chordal":
+        return graph
+    import time
+    t0 = time.perf_counter()
+    out = chordal_init(graph)
+    if logger is not None:
+        logger.log("init", kind="chordal",
+                   wall_s=round(time.perf_counter() - t0, 3))
+    return out

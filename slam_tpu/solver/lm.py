@@ -59,10 +59,12 @@ class LMResult(NamedTuple):
     accepted: Array
     converged: Array
     lin_iters: Array
-    # Final damping state -- thread back in via lm_fixed_iters(lam0=, it0=)
-    # to continue a chunked solve without resetting the trust region (or
-    # the GNC anneal position).
+    # Final damping state -- thread back in via lm_fixed_iters(lam0=, nu0=,
+    # it0=) to continue a chunked solve without resetting the trust region
+    # (or the GNC anneal position).  nu matters too: consecutive rejections
+    # straddling a chunk boundary must keep doubling the growth factor.
     final_lambda: Array | None = None
+    final_nu: Array | None = None
 
 
 def _pallas_flags(cfg: SolverConfig) -> dict:
@@ -227,6 +229,7 @@ def lm_solve(
         converged=out.converged,
         lin_iters=out.lin_iters,
         final_lambda=out.lam,
+        final_nu=out.nu,
     )
 
 
@@ -242,14 +245,16 @@ def lm_fixed_iters(
     partition=None,
     lam0: Array | None = None,
     it0: Array | None = None,
+    nu0: Array | None = None,
 ) -> LMResult:
     """Exactly ``num_iters`` LM iterations via ``lax.scan`` (benchmarking and
     the short inner solves of methods 3/4, which cap Ceres at 1-2 iterations,
     e.g. ``layer_manager.cpp:642``).
 
-    ``lam0``/``it0`` continue a chunked solve from a previous result's
-    ``final_lambda``/``iterations`` instead of restarting the trust region
-    (required for GNC, whose phi schedule keys off the iteration index)."""
+    ``lam0``/``nu0``/``it0`` continue a chunked solve from a previous
+    result's ``final_lambda``/``final_nu``/``iterations`` instead of
+    restarting the trust region (required for GNC, whose phi schedule keys
+    off the iteration index)."""
     model = model or SE2Model
     dtype = jnp.dtype(cfg.dtype)
     poses0 = poses0.astype(dtype)
@@ -301,7 +306,8 @@ def lm_fixed_iters(
         cost=cost0,
         lam=(jnp.asarray(cfg.init_lambda, dtype) if lam0 is None
              else jnp.asarray(lam0, dtype)),
-        nu=jnp.asarray(2.0, dtype),
+        nu=(jnp.asarray(2.0, dtype) if nu0 is None
+            else jnp.asarray(nu0, dtype)),
         it=jnp.int32(0) if it0 is None else jnp.asarray(it0, jnp.int32),
         accepted=jnp.int32(0),
         converged=jnp.asarray(False),
@@ -318,4 +324,5 @@ def lm_fixed_iters(
         converged=out.converged,
         lin_iters=out.lin_iters,
         final_lambda=out.lam,
+        final_nu=out.nu,
     )

@@ -203,7 +203,12 @@ def _assign_blocks(
     owner[a_int] = ba[a_int]
     owner[b_int & (owner < 0)] = bb[b_int & (owner < 0)]
     block_edges = [np.where(owner == k)[0] for k in range(num_blocks)]
-    sep_edges = np.where(sep[ij[:, 0]] | sep[ij[:, 1]])[0]
+    # Exclude self-loops: bucket-padded edge lists point pads at (0, 0)
+    # and node 0 is always a separator, so without this every pad row
+    # would ride through the hot C-assembly matmul as a dead gather.
+    sep_edges = np.where(
+        (sep[ij[:, 0]] | sep[ij[:, 1]]) & (ij[:, 0] != ij[:, 1])
+    )[0]
     return sep_ids, interior_ids, block_edges, sep_edges
 
 

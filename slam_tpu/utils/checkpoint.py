@@ -43,13 +43,14 @@ def load_checkpoint(path: str) -> tuple[dict, dict]:
     return state, meta
 
 
-def lm_state_dict(poses, switches, lam, iteration, cost) -> dict:
-    """Canonical LM solver state (poses, switches, lambda, iter, cost) --
-    everything needed to resume ``lm_solve`` mid-run."""
+def lm_state_dict(poses, switches, lam, iteration, cost, nu=2.0) -> dict:
+    """Canonical LM solver state (poses, switches, lambda, nu, iter, cost)
+    -- everything needed to resume ``lm_solve`` mid-run."""
     return {
         "poses": np.asarray(poses),
         "switches": np.asarray(switches),
         "lam": np.asarray(lam),
+        "nu": np.asarray(nu),
         "iteration": np.asarray(iteration),
         "cost": np.asarray(cost),
     }
@@ -76,6 +77,7 @@ class CheckpointingSolver:
         poses, switches = poses0, switches0
         start = 0
         lam = float(cfg.init_lambda)
+        nu = 2.0
         if resume and os.path.exists(self.path):
             state, meta = load_checkpoint(self.path)
             if meta.get("total_iters") == total_iters:
@@ -85,23 +87,28 @@ class CheckpointingSolver:
                 # Older checkpoints stored lam=0.0 (chunked runs then
                 # restarted the trust region); treat 0 as "use init".
                 lam = float(state.get("lam", 0.0)) or float(cfg.init_lambda)
+                nu = float(state.get("nu", 2.0))
 
         it = start
         res = None  # None when resuming at completion (no chunks to run)
         while it < total_iters:
             n = min(self.chunk_iters, total_iters - it)
-            # lam0/it0 continue ONE LM trajectory across chunks/restarts
-            # (trust region and GNC anneal position both persist).
+            # lam0/nu0/it0 continue ONE LM trajectory across chunks and
+            # restarts (trust region, rejection growth factor and GNC
+            # anneal position all persist).
             res = lm_fixed_iters(poses, switches, edges, free, cfg, n,
                                  model=model,
                                  lam0=jnp.asarray(lam, poses.dtype),
-                                 it0=jnp.int32(it))
+                                 it0=jnp.int32(it),
+                                 nu0=jnp.asarray(nu, poses.dtype))
             poses, switches = res.poses, res.switches
             lam = float(res.final_lambda)
+            nu = float(res.final_nu)
             it += n
             save_checkpoint(
                 self.path,
-                lm_state_dict(poses, switches, lam, it, float(res.cost)),
+                lm_state_dict(poses, switches, lam, it, float(res.cost),
+                              nu=nu),
                 meta={"total_iters": total_iters},
             )
         return poses, switches, res
