@@ -41,6 +41,9 @@ def run(spec: str) -> dict:
 
     graph = g2o.load_g2o("data/M10000.g2o")
     dirty = graph.add_random_outliers(50, seed=0).canonical_order()
+    if "--init-chordal" in sys.argv:
+        from slam_tpu.solver.init import chordal_init
+        dirty = chordal_init(dirty)
     # Schur topology now lives in precomputed SchurPartition endpoint maps;
     # the matvec-only PCG path can use the chain-compressed form.
     edges = edge_set_from_graph(
@@ -88,7 +91,7 @@ def run(spec: str) -> dict:
         return (r.poses, r.switches, r.cost, r.initial_cost,
                 r.final_lambda, r.final_nu, r.iterations)
 
-    def full(p):
+    def full(p, want_poses=False):
         s = sw0
         cost0 = None
         # Thread (lambda, nu, iteration) through the chunks: continuous
@@ -101,10 +104,13 @@ def run(spec: str) -> dict:
             p, s, cost, c0, lam, nu, it = solve(
                 p, s, edges, partition, lam, nu, it)
             cost0 = float(c0) if cost0 is None else cost0
+        if want_poses:
+            return float(jax.device_get(cost)), cost0, np.asarray(
+                jax.device_get(p), np.float64)
         return float(jax.device_get(cost)), cost0
 
     t0 = time.perf_counter()
-    cost, cost0 = full(poses0)
+    cost, cost0, opt_poses = full(poses0, want_poses=True)
     compile_s = time.perf_counter() - t0
 
     rng = np.random.default_rng(1)
@@ -116,15 +122,21 @@ def run(spec: str) -> dict:
         t0 = time.perf_counter()
         full(p)
         best = min(best, time.perf_counter() - t0)
+    from slam_tpu.eval import metrics
+    gt = np.load("data/M10000_gt.npy")
+    ate = float(metrics.ate(opt_poses[:, :2], gt[:, :2]))
     return dict(spec=spec, cost0=round(cost0, 4), cost=round(cost, 4),
                 compile_or_first_s=round(compile_s, 1),
-                iters_s=round(LM_ITERS / best, 2))
+                iters_s=round(LM_ITERS / best, 2),
+                ate_m=round(ate, 3))
 
 
 def main():
     from slam_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
     for spec in sys.argv[1:]:
+        if spec.startswith("--"):
+            continue
         print(run(spec), flush=True)
 
 

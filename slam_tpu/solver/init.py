@@ -10,12 +10,14 @@ to solve the ROTATION subproblem first, which is linear in the chordal
 (matrix-element) parametrization, then initialize translations by a second
 linear solve with rotations fixed.
 
-Both stages are weighted graph-Laplacian least squares, solved here with
-Jacobi-preconditioned CG on the host in f64 (a one-time O(E) preprocessing
-step like parsing; the iteration count is a few hundred on M3500-class
-graphs, milliseconds of numpy).  Optional IRLS rounds downweight edges
-with large rotation residuals so injected bogus loops do not poison the
-init (Huber on the chordal residual).
+Both stages are weighted graph-Laplacian least squares, solved exactly on
+the host with a sparse f64 factorization (scipy splu; a one-time O(E)
+preprocessing step like parsing).  An iterative solve is the wrong tool
+here: chain-dominated pose-graph Laplacians have condition number ~N^2,
+and a CG variant of this module needed >N iterations on M10000 and
+silently returned garbage when capped.  Optional IRLS rounds downweight
+edges with large rotation residuals so injected bogus loops do not poison
+the init (Geman-McClure on the chordal residual).
 
 SE(2): unknowns r_i = (cos t_i, sin t_i); edge residual r_b - M(t_ab) r_a
 with M a rotation matrix, so the normal-equation blocks are w*I and
@@ -32,66 +34,66 @@ from slam_tpu.graph import ODOMETRY_EDGE, PoseGraph
 _ANCHOR_W = 1e6
 
 
-def _cg(matvec, b, diag, iters: int, rtol: float):
-    """Jacobi-preconditioned conjugate gradients (host numpy, f64)."""
-    x = np.zeros_like(b)
-    r = b - matvec(x)
-    z = r / diag
-    p = z.copy()
-    rz = float(np.sum(r * z))
-    b2 = float(np.sum(b * b)) or 1.0
-    for _ in range(iters):
-        Ap = matvec(p)
-        alpha = rz / float(np.sum(p * Ap))
-        x += alpha * p
-        r -= alpha * Ap
-        if float(np.sum(r * r)) <= rtol * rtol * b2:
-            break
-        z = r / diag
-        rz_new = float(np.sum(r * z))
-        p = z + (rz_new / rz) * p
-        rz = rz_new
-    return x
-
-
-def _laplacian_solve(n, a_idx, b_idx, w, rot_ab, rhs, anchor_val,
-                     iters, rtol):
-    """Solve the chordal normal equations.
+def _laplacian_solve(n, a_idx, b_idx, w, rot_ab, rhs, anchor_val):
+    """Solve the chordal normal equations exactly (sparse f64 splu).
 
     Unknowns ``x (n, K)`` (rows of the rotation parametrization, or
     translations with ``rot_ab=None``).  Per edge: residual
     ``x_b - x_a @ rot_ab_e`` (identity rotation when None), plus a strong
-    anchor prior on node 0.
+    anchor prior on node 0.  In column-vector form (x~_i = x_i^T) the
+    residual is ``x~_b - A^T x~_a``, so the normal blocks are
+    H[a,a] += w I, H[b,b] += w I, H[a,b] += -w A, H[b,a] += -w A^T
+    (A orthogonal).
     """
-    K = rhs.shape[1]
-    deg = np.zeros((n,), np.float64)
-    np.add.at(deg, a_idx, w)
-    np.add.at(deg, b_idx, w)
-    diag = np.repeat(deg[:, None], K, axis=1)
-    diag[0] += _ANCHOR_W
-    diag = np.maximum(diag, 1e-12)
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
 
-    def matvec(x):
-        y = np.zeros_like(x)
-        xa = x[a_idx]
-        xb = x[b_idx]
-        if rot_ab is None:
-            ya = w[:, None] * (xa - xb)
-            yb = -ya
-        else:
-            # Residual r_e = x_b - x_a @ A_e with A_e orthogonal, so the
-            # normal-equation blocks simplify to w*I and -w*A:
-            #   y_a = w (x_a - x_b @ A^T),  y_b = w (x_b - x_a @ A)
-            ya = w[:, None] * (xa - np.einsum("ek,ejk->ej", xb, rot_ab))
-            yb = w[:, None] * (xb - np.einsum("ek,ekj->ej", xa, rot_ab))
-        np.add.at(y, a_idx, ya)
-        np.add.at(y, b_idx, yb)
-        y[0] += _ANCHOR_W * x[0]
-        return y
+    K = rhs.shape[1]
+    E = a_idx.shape[0]
+    off = np.arange(K)
+
+    rows = []
+    cols = []
+    vals = []
+
+    def add(ni_, nj_, blocks):
+        # blocks: (E, K, K) at node pairs (ni_, nj_)
+        r = (ni_[:, None, None] * K + off[None, :, None]) * np.ones(
+            (1, 1, K), np.int64)
+        c = (nj_[:, None, None] * K + off[None, None, :]) * np.ones(
+            (1, K, 1), np.int64)
+        rows.append(r.ravel())
+        cols.append(c.ravel())
+        vals.append(np.broadcast_to(blocks, (E, K, K)).ravel())
+
+    eyeK = np.eye(K)
+    wI = w[:, None, None] * eyeK[None]
+    add(a_idx, a_idx, wI)
+    add(b_idx, b_idx, wI)
+    if rot_ab is None:
+        offd = -wI
+        add(a_idx, b_idx, offd)
+        add(b_idx, a_idx, offd)
+    else:
+        add(a_idx, b_idx, -w[:, None, None] * rot_ab)
+        add(b_idx, a_idx, -w[:, None, None]
+            * np.transpose(rot_ab, (0, 2, 1)))
+
+    # Anchor prior on node 0.
+    rows.append(off)
+    cols.append(off)
+    vals.append(np.full((K,), _ANCHOR_W))
+
+    H = sp.coo_matrix(
+        (np.concatenate(vals),
+         (np.concatenate(rows), np.concatenate(cols))),
+        shape=(n * K, n * K),
+    ).tocsc()
 
     b = rhs.copy()
     b[0] += _ANCHOR_W * anchor_val
-    return _cg(matvec, b, diag, iters, rtol)
+    x = spla.splu(H).solve(b.reshape(n * K))
+    return x.reshape(n, K)
 
 
 def _rot2(t):
@@ -153,8 +155,6 @@ def chordal_init(
     graph: PoseGraph,
     huber_irls_rounds: int = 1,
     huber_delta: float = 0.1,
-    cg_iters: int = 1500,
-    cg_rtol: float = 1e-10,
 ) -> PoseGraph:
     """Return the graph with poses replaced by the chordal initialization.
 
@@ -184,7 +184,7 @@ def chordal_init(
         if g.dim == 3:
             x = _laplacian_solve(
                 n, a_idx, b_idx, w_, rot,
-                np.zeros((n, K)), anchor_r, cg_iters, cg_rtol)
+                np.zeros((n, K)), anchor_r)
             return x
         # SE(3): three independent row problems share the same operator;
         # solve rows jointly as (n, 9) with a block-diagonal action.
@@ -192,7 +192,7 @@ def chordal_init(
         for i in range(3):
             rows.append(_laplacian_solve(
                 n, a_idx, b_idx, w_, rot,
-                np.zeros((n, 3)), anchor_R[i], cg_iters, cg_rtol))
+                np.zeros((n, 3)), anchor_R[i]))
         return np.stack(rows, axis=1)                    # (n, 3, 3)
 
     loop = np.asarray(g.edge_type) != ODOMETRY_EDGE
@@ -233,10 +233,15 @@ def chordal_init(
                 delta = max(huber_delta, 3.0 * float(np.quantile(rl, 0.25)))
             else:
                 delta = huber_delta
-            # Geman-McClure: far stronger outlier suppression than
-            # Huber's 1/r tail (a bogus loop with chordal residual ~1
-            # gets weight ~delta^2).
-            w = np.where(loop, delta**2 / (delta**2 + rn**2), 1.0)
+            # Geman-McClure reweighting PLUS a hard gate.  The gate is
+            # load-bearing: on a floppy chain-dominated graph the
+            # Laplacian's soft long-wavelength modes amplify a long-range
+            # perturbation by ~N^2, so a bogus loop "downweighted" to
+            # 0.004 still bends a 10k-node solve by a radian (measured on
+            # M10000: rot error 0.99 rad at w=0.004 vs 0.016 at w=0).
+            # Outliers must be REMOVED, not merely downweighted.
+            gm = delta**2 / (delta**2 + rn**2)
+            w = np.where(loop, np.where(rn > 3.0 * delta, 0.0, gm), 1.0)
             x = solve_rot(w)
     else:
         x = solve_rot(w)
@@ -254,15 +259,30 @@ def chordal_init(
 
     # Translation stage: p_b - p_a = R_a t_ab with rotations fixed.  The
     # Laplacian is shift-invariant, so solve with the anchor at 0 (keeps
-    # the huge anchor prior out of the CG residual scale) and add the true
-    # anchor position back.
+    # the huge anchor prior conditioning-neutral) and add the true anchor
+    # position back.
     d = np.einsum("eij,ej->ei", R_nodes[a_idx], t_local)
-    rhs = np.zeros((n, t_local.shape[1]), np.float64)
-    np.add.at(rhs, a_idx, -w[:, None] * d)
-    np.add.at(rhs, b_idx, w[:, None] * d)
-    p = _laplacian_solve(
-        n, a_idx, b_idx, w, None, rhs,
-        np.zeros((t_local.shape[1],)), cg_iters, cg_rtol)
+
+    def solve_trans(w_):
+        rhs = np.zeros((n, t_local.shape[1]), np.float64)
+        np.add.at(rhs, a_idx, -w_[:, None] * d)
+        np.add.at(rhs, b_idx, w_[:, None] * d)
+        return _laplacian_solve(n, a_idx, b_idx, w_, None, rhs,
+                                np.zeros((t_local.shape[1],)))
+
+    p = solve_trans(w)
+    if huber_irls_rounds > 0:
+        # The rotation gate cannot catch translation-only outliers: a
+        # bogus loop's 1-DOF rotation coincidentally matches a few percent
+        # of the time (measured on M10000+50: 3 of 50 survived, one at
+        # weight 0.66, bending the floppy translation solve by ~145 m).
+        # Gate again on the translation residual and re-solve.
+        rt = np.linalg.norm(p[b_idx] - p[a_idx] - d, axis=-1)
+        rl = rt[loop & (w > 0)]
+        if rl.size:
+            delta_t = 3.0 * float(np.quantile(rl, 0.25)) + 1e-9
+            w = np.where(loop & (rt > 3.0 * delta_t), 0.0, w)
+            p = solve_trans(w)
     poses[:, : t_local.shape[1]] = p + poses[0, : t_local.shape[1]][None, :]
 
     import dataclasses
