@@ -509,27 +509,54 @@ def schur_solve(
     )
 
     # ---- eliminate interiors, reduce separator -------------------------
+    # Half-substitution formulation: with A = L L^T and G = L^-1 [F | b],
+    #   S     = C - G_F^T G_F          (matmul instead of F^T (A^-1 F))
+    #   rhs_s = b_sep - G_F^T g_b
+    #   x_int = L^-T (g_b - G_F x_sep)
+    # One forward-triangular pass over the (D*ns + 1) RHS instead of
+    # cho_solve's forward+backward pair: triangular solves are the
+    # dominant stage on TPU (measured 7.4 of 15.5 ms per bench iteration;
+    # scripts/profile_schur_stages.py), and this halves their volume while
+    # moving the F^T Y contraction onto the MXU as G^T G.
     if blocked:
         from slam_tpu.solver import blocked_chol as bc
         fac = bc.blocked_cholesky(A_b, panel=_panel)
-        # One combined solve for [F | b]: the extra column rides along.
         Fb_ext = jnp.concatenate([F_b, b_b[..., None]], axis=-1)
         Yext = bc.cho_solve_blocked(fac, Fb_ext)
         Y, y = Yext[..., :-1], Yext[..., -1]
+        S = C - jnp.einsum("pij,pik->jk", F_b, Y, precision=_PREC)
+        rhs_s = b_sep - jnp.einsum("pij,pi->j", F_b, y, precision=_PREC)
     else:
         chol = jax.vmap(
             lambda A: jax.scipy.linalg.cho_factor(A, lower=True)[0]
         )(A_b)
-        solve = jax.vmap(
-            lambda L, B: jax.scipy.linalg.cho_solve((L, True), B)
-        )
-        Y = solve(chol, F_b)                   # (P, D*ni, D*ns) = A^-1 F
-        y = solve(chol, b_b[..., None])[..., 0]  # (P, D*ni)
-
-    # The separator reduction: in the distributed variant this contraction
-    # is a psum over the block/device axis.
-    S = C - jnp.einsum("pij,pik->jk", F_b, Y, precision=_PREC)
-    rhs_s = b_sep - jnp.einsum("pij,pi->j", F_b, y, precision=_PREC)
+        Fb_ext = jnp.concatenate([F_b, b_b[..., None]], axis=-1)
+        # Triangular solves -- not matmuls -- are the measured bottleneck
+        # of this solver on TPU (scripts/profile_schur_stages.py).  For
+        # SMALL interiors, invert L explicitly: the only triangular op is
+        # the (D*ni)-RHS inversion, and forming G / the back-substitution
+        # become MXU matmuls (INTEL bench 524 -> 530 it/s).  For LARGE
+        # interiors the explicit (D*ni)^2 inverse is memory-bound and
+        # LOSES (M10000 6.03 -> 5.78 it/s measured), so fall back to one
+        # forward-triangular pass over [F | b] (still half of
+        # cho_solve's forward+backward pair).
+        use_inv = A_b.shape[-1] <= 1024
+        if use_inv:
+            eye = jnp.eye(A_b.shape[-1], dtype=dtype)
+            Linv = jax.vmap(
+                lambda L: jax.scipy.linalg.solve_triangular(
+                    L, eye, lower=True)
+            )(chol)                            # (P, D*ni, D*ni)
+            G_ext = jnp.einsum("pij,pjk->pik", Linv, Fb_ext,
+                               precision=_PREC)
+        else:
+            G_ext = jax.vmap(
+                lambda L, B: jax.scipy.linalg.solve_triangular(
+                    L, B, lower=True)
+            )(chol, Fb_ext)                    # (P, D*ni, D*ns + 1)
+        G_F, g_b = G_ext[..., :-1], G_ext[..., -1]
+        S = C - jnp.einsum("pij,pik->jk", G_F, G_F, precision=_PREC)
+        rhs_s = b_sep - jnp.einsum("pij,pi->j", G_F, g_b, precision=_PREC)
 
     if _sep_blocked:
         from slam_tpu.solver import blocked_chol as bc
@@ -539,7 +566,18 @@ def schur_solve(
         Ls = jax.scipy.linalg.cho_factor(S, lower=True)
         x_sep = jax.scipy.linalg.cho_solve(Ls, rhs_s)  # (D*ns,)
 
-    x_int = y - jnp.einsum("pij,j->pi", Y, x_sep, precision=_PREC)
+    if blocked:
+        x_int = y - jnp.einsum("pij,j->pi", Y, x_sep, precision=_PREC)
+    else:
+        half = g_b - jnp.einsum("pij,j->pi", G_F, x_sep, precision=_PREC)
+        if use_inv:
+            # x_int = L^-T half, as a matmul with the explicit inverse.
+            x_int = jnp.einsum("pji,pj->pi", Linv, half, precision=_PREC)
+        else:
+            x_int = jax.vmap(
+                lambda L, v: jax.scipy.linalg.solve_triangular(
+                    L, v, lower=True, trans=1)
+            )(chol, half)
     # Leave the scaled space: x = D^-1/2 x'.
     x_int = x_int * s_int_b
     x_sep = x_sep * s_sep
