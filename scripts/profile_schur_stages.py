@@ -133,19 +133,32 @@ def main():
 
         chol = jax.vmap(
             lambda A: jax.scipy.linalg.cho_factor(A, lower=True)[0])(A_b)
-        solve = jax.vmap(lambda L, B: jax.scipy.linalg.cho_solve((L, True), B))
-        Y = solve(chol, F_b)
-        y = solve(chol, b_b[..., None])[..., 0]
+        if stage == "chol":
+            probe = jnp.sum(chol) + jnp.sum(C)
+            return Update(poses=jnp.zeros_like(system.g) + probe * 0.0,
+                          switches=jnp.zeros((E,), dtype))
+        eye = jnp.eye(A_b.shape[-1], dtype=dtype)
+        Linv = jax.vmap(
+            lambda L: jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+        )(chol)
+        if stage == "linv":
+            probe = jnp.sum(Linv) + jnp.sum(C)
+            return Update(poses=jnp.zeros_like(system.g) + probe * 0.0,
+                          switches=jnp.zeros((E,), dtype))
+        Fb_ext = jnp.concatenate([F_b, b_b[..., None]], axis=-1)
+        G_ext = jnp.einsum("pij,pjk->pik", Linv, Fb_ext, precision=_PREC)
+        G_F, g_b = G_ext[..., :-1], G_ext[..., -1]
         if stage == "factor":
-            probe = jnp.sum(Y) + jnp.sum(y) + jnp.sum(C)
+            probe = jnp.sum(G_F) + jnp.sum(g_b) + jnp.sum(C)
             return Update(poses=jnp.zeros_like(system.g) + probe * 0.0,
                           switches=jnp.zeros((E,), dtype))
 
-        S = C - jnp.einsum("pij,pik->jk", F_b, Y, precision=_PREC)
-        rhs_s = b_sep - jnp.einsum("pij,pi->j", F_b, y, precision=_PREC)
+        S = C - jnp.einsum("pij,pik->jk", G_F, G_F, precision=_PREC)
+        rhs_s = b_sep - jnp.einsum("pij,pi->j", G_F, g_b, precision=_PREC)
         Ls = jax.scipy.linalg.cho_factor(S, lower=True)
         x_sep = jax.scipy.linalg.cho_solve(Ls, rhs_s)
-        x_int = (y - jnp.einsum("pij,j->pi", Y, x_sep, precision=_PREC))
+        half = g_b - jnp.einsum("pij,j->pi", G_F, x_sep, precision=_PREC)
+        x_int = jnp.einsum("pji,pj->pi", Linv, half, precision=_PREC)
         x_int = x_int * s_int_b
         x_sep = x_sep * s_sep
         x_sep_nd = _mm(part.sep_sel.T, x_sep.reshape(D, ns).T)
@@ -181,7 +194,7 @@ def main():
 
     rng = np.random.default_rng(1)
     prev = 0.0
-    for stage in ("sep", "assemble", "factor", "full"):
+    for stage in ("sep", "assemble", "chol", "linv", "factor", "full"):
         run = make(stage)
         _ = jax.device_get(run(poses0, edges_b, parts_b))
         best = float("inf")
