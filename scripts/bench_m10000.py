@@ -125,7 +125,9 @@ def run(spec: str) -> dict:
     from slam_tpu.eval import metrics
     gt = np.load("data/M10000_gt.npy")
     ate = float(metrics.ate(opt_poses[:, :2], gt[:, :2]))
-    return dict(spec=spec, cost0=round(cost0, 4), cost=round(cost, 4),
+    return dict(spec=spec, init=("chordal" if "--init-chordal" in sys.argv
+                                 else "dataset"),
+                cost0=round(cost0, 4), cost=round(cost, 4),
                 compile_or_first_s=round(compile_s, 1),
                 iters_s=round(LM_ITERS / best, 2),
                 ate_m=round(ate, 3))

@@ -137,6 +137,11 @@ def main():
             probe = jnp.sum(chol) + jnp.sum(C)
             return Update(poses=jnp.zeros_like(system.g) + probe * 0.0,
                           switches=jnp.zeros((E,), dtype))
+        # NOTE: this mirrors schur_solve's small-interior (use_inv) branch
+        # only -- correct for the INTEL bench shape (D*ni = 621 <= 1024);
+        # do NOT read these stage numbers for D*ni > 1024 workloads, where
+        # production takes the half-substitution branch instead.
+        assert A_b.shape[-1] <= 1024, "profiler mirrors the use_inv branch"
         eye = jnp.eye(A_b.shape[-1], dtype=dtype)
         Linv = jax.vmap(
             lambda L: jax.scipy.linalg.solve_triangular(L, eye, lower=True)

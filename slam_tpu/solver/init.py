@@ -34,8 +34,9 @@ from slam_tpu.graph import ODOMETRY_EDGE, PoseGraph
 _ANCHOR_W = 1e6
 
 
-def _laplacian_solve(n, a_idx, b_idx, w, rot_ab, rhs, anchor_val):
-    """Solve the chordal normal equations exactly (sparse f64 splu).
+def _laplacian_factor(n, a_idx, b_idx, w, rot_ab, K):
+    """Factor the chordal normal equations once (sparse f64 splu) and
+    return ``solve(rhs, anchor_val, fallback) -> (n, K)``.
 
     Unknowns ``x (n, K)`` (rows of the rotation parametrization, or
     translations with ``rot_ab=None``).  Per edge: residual
@@ -44,11 +45,17 @@ def _laplacian_solve(n, a_idx, b_idx, w, rot_ab, rhs, anchor_val):
     residual is ``x~_b - A^T x~_a``, so the normal blocks are
     H[a,a] += w I, H[b,b] += w I, H[a,b] += -w A, H[b,a] += -w A^T
     (A orthogonal).
+
+    ``fallback (n, K)`` (per solve): nodes with NO live edge (possible
+    with multi-segment odometry, closure-only nodes under the
+    odometry-only bootstrap, or when the hard gate removes a node's last
+    edge) get a unit prior toward this value instead of leaving H
+    singular (splu would abort the whole init with 'Factor is exactly
+    singular').
     """
     import scipy.sparse as sp
     import scipy.sparse.linalg as spla
 
-    K = rhs.shape[1]
     E = a_idx.shape[0]
     off = np.arange(K)
 
@@ -84,16 +91,41 @@ def _laplacian_solve(n, a_idx, b_idx, w, rot_ab, rhs, anchor_val):
     cols.append(off)
     vals.append(np.full((K,), _ANCHOR_W))
 
+    # Orphan-node priors (see docstring).
+    deg = np.zeros((n,), np.float64)
+    np.add.at(deg, a_idx, w)
+    np.add.at(deg, b_idx, w)
+    orphan = np.where(deg == 0.0)[0]
+    orphan = orphan[orphan != 0]
+    if orphan.size:
+        oi = (orphan[:, None] * K + off[None, :]).ravel()
+        rows.append(oi)
+        cols.append(oi)
+        vals.append(np.ones(oi.shape[0]))
+
     H = sp.coo_matrix(
         (np.concatenate(vals),
          (np.concatenate(rows), np.concatenate(cols))),
         shape=(n * K, n * K),
     ).tocsc()
+    lu = spla.splu(H)
 
-    b = rhs.copy()
-    b[0] += _ANCHOR_W * anchor_val
-    x = spla.splu(H).solve(b.reshape(n * K))
-    return x.reshape(n, K)
+    def solve(rhs, anchor_val, fallback=None):
+        b = rhs.copy()
+        b[0] += _ANCHOR_W * anchor_val
+        if orphan.size and fallback is not None:
+            b[orphan] += fallback[orphan]
+        return lu.solve(b.reshape(n * K)).reshape(n, K)
+
+    return solve
+
+
+def _laplacian_solve(n, a_idx, b_idx, w, rot_ab, rhs, anchor_val,
+                     fallback=None):
+    """One-shot wrapper over :func:`_laplacian_factor`."""
+    return _laplacian_factor(
+        n, a_idx, b_idx, w, rot_ab, rhs.shape[1]
+    )(rhs, anchor_val, fallback)
 
 
 def _rot2(t):
@@ -180,19 +212,23 @@ def chordal_init(
         anchor_R = _quat_to_mat(np.asarray(g.poses[0, 3:7], np.float64))
         K = 3
 
+    if g.dim == 3:
+        cur_rot = np.stack([np.cos(np.asarray(g.poses)[:, 2]),
+                            np.sin(np.asarray(g.poses)[:, 2])], axis=1)
+    else:
+        cur_rot3 = _quat_to_mat(np.asarray(g.poses)[:, 3:7])  # (n, 3, 3)
+
     def solve_rot(w_):
         if g.dim == 3:
-            x = _laplacian_solve(
+            return _laplacian_solve(
                 n, a_idx, b_idx, w_, rot,
-                np.zeros((n, K)), anchor_r)
-            return x
-        # SE(3): three independent row problems share the same operator;
-        # solve rows jointly as (n, 9) with a block-diagonal action.
-        rows = []
-        for i in range(3):
-            rows.append(_laplacian_solve(
-                n, a_idx, b_idx, w_, rot,
-                np.zeros((n, 3)), anchor_R[i]))
+                np.zeros((n, K)), anchor_r, fallback=cur_rot)
+        # SE(3): the three row problems share ONE operator -- factor once,
+        # solve three right-hand sides (anchor rows of R_0; orphan
+        # fallbacks = the matching current-rotation rows).
+        solve = _laplacian_factor(n, a_idx, b_idx, w_, rot, 3)
+        rows = [solve(np.zeros((n, 3)), anchor_R[i], cur_rot3[:, i, :])
+                for i in range(3)]
         return np.stack(rows, axis=1)                    # (n, 3, 3)
 
     loop = np.asarray(g.edge_type) != ODOMETRY_EDGE
@@ -263,12 +299,17 @@ def chordal_init(
     # position back.
     d = np.einsum("eij,ej->ei", R_nodes[a_idx], t_local)
 
+    Kt = t_local.shape[1]
+    # Orphan fallback in the shifted (anchor-at-zero) frame.
+    cur_trans = np.asarray(g.poses, np.float64)[:, :Kt] \
+        - np.asarray(g.poses, np.float64)[0, :Kt][None, :]
+
     def solve_trans(w_):
-        rhs = np.zeros((n, t_local.shape[1]), np.float64)
+        rhs = np.zeros((n, Kt), np.float64)
         np.add.at(rhs, a_idx, -w_[:, None] * d)
         np.add.at(rhs, b_idx, w_[:, None] * d)
         return _laplacian_solve(n, a_idx, b_idx, w_, None, rhs,
-                                np.zeros((t_local.shape[1],)))
+                                np.zeros((Kt,)), fallback=cur_trans)
 
     p = solve_trans(w)
     if huber_irls_rounds > 0:
@@ -280,7 +321,16 @@ def chordal_init(
         rt = np.linalg.norm(p[b_idx] - p[a_idx] - d, axis=-1)
         rl = rt[loop & (w > 0)]
         if rl.size:
-            delta_t = 3.0 * float(np.quantile(rl, 0.25)) + 1e-9
+            # Floor the threshold at the median odometry translation
+            # norm: a tight cluster of near-exact closures (duplicate
+            # edges, identity-revisit loops) would otherwise collapse
+            # q25 to ~0 and the gate would strip every normally-noisy
+            # closure from the translation solve.
+            odo_step = float(np.median(
+                np.linalg.norm(t_local[~loop], axis=-1))) if (~loop).any() \
+                else 1.0
+            delta_t = max(3.0 * float(np.quantile(rl, 0.25)),
+                          0.1 * odo_step, 1e-9)
             w = np.where(loop & (rt > 3.0 * delta_t), 0.0, w)
             p = solve_trans(w)
     poses[:, : t_local.shape[1]] = p + poses[0, : t_local.shape[1]][None, :]

@@ -252,3 +252,26 @@ def test_chordal_init_robust_to_bogus_loops(circle_outliers):
     ate0 = float(se2.ate(jnp.asarray(np.asarray(dirty.poses)),
                          jnp.asarray(gt)))
     assert ate < max(1.0, ate0), (ate, ate0)
+
+
+def test_chordal_init_survives_orphan_nodes():
+    """Regression: a node reachable only through loop edges (orphaned in
+    the odometry-only bootstrap, or when the hard gate removes its last
+    edge) must not crash the sparse factorization; orphans fall back to
+    their current pose."""
+    from slam_tpu.graph import PoseGraph
+    from slam_tpu.solver.init import chordal_init
+
+    g = PoseGraph(
+        poses=np.array([[0.0, 0, 0], [1.0, 0, 0], [5.0, 5, 1.0]]),
+        edges_ij=np.array([[0, 1], [1, 2]], np.int32),
+        edges_meas=np.array([[1.0, 0, 0], [0.5, 0.5, 0.3]]),
+        edges_info=np.tile(np.array([[1.0, 0, 0, 1.0, 0, 1.0]]), (2, 1)),
+        edge_type=np.array([0, 1], np.int8),  # odometry, closure
+    )
+    ini = chordal_init(g, huber_irls_rounds=1)
+    p = np.asarray(ini.poses)
+    assert np.all(np.isfinite(p))
+    # Connected nodes follow the odometry; the closure-only node ends up
+    # either at its fallback pose or at the closure-implied position.
+    np.testing.assert_allclose(p[1, :2], [1.0, 0.0], atol=1e-6)
