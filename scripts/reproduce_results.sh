@@ -13,9 +13,18 @@ python bench.py
 
 echo "== scale/solver comparisons (results/README.md scale notes)"
 python scripts/bench_m10000.py schur:8 pcg:16        # M10000 solver A/B
+python scripts/bench_m10000.py schur:8 schurgnc:8 --init-chordal  # init/GNC quality
 python scripts/bench_pcg.py                          # INTEL+50 PCG vs Schur
 XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
   python scripts/dist_scale_check.py 5               # distributed Schur @ M3500
+
+echo "== chordal/GNC quality experiments (results/README.md)"
+python scripts/bench_m3500bc.py --init-chordal       # M3500b/c variants
+python scripts/gnc_sphere_ab.py 0:1:30 0:1:30:chordal  # structured-sphere
+
+echo "== bench stage profile (results/README.md fourth-pass section)"
+python scripts/profile_bench.py
+python scripts/profile_schur_stages.py
 
 echo "== INTEL robustness grid (results/intel_sweep_r1.md)"
 python -m slam_tpu.cli INTEL 100 1 --sweep --save-path save/intel_sweep
