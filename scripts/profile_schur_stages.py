@@ -131,6 +131,13 @@ def main():
             return Update(poses=jnp.zeros_like(system.g) + probe * 0.0,
                           switches=jnp.zeros((E,), dtype))
 
+        if stage == "luinv":
+            # Measured negative: LU-based inv is 15.3 ms vs the production
+            # chol+triangular-inverse pair's 5.5 ms on this shape.
+            Ainv = jnp.linalg.inv(A_b)
+            probe = jnp.sum(Ainv) + jnp.sum(C)
+            return Update(poses=jnp.zeros_like(system.g) + probe * 0.0,
+                          switches=jnp.zeros((E,), dtype))
         chol = jax.vmap(
             lambda A: jax.scipy.linalg.cho_factor(A, lower=True)[0])(A_b)
         if stage == "chol":
