@@ -209,11 +209,17 @@ def main(argv=None) -> int:
     if args.plot:
         from slam_tpu.viz import plot
         import os
-        plot.plot_trajectories(
-            os.path.join(cfg.save_path, "init_nodes.txt"),
-            os.path.join(cfg.save_path, "opt_nodes.txt"),
-            os.path.join(cfg.save_path, "trajectory.png"),
-        )
+        # Mirror the reference's do_plot.sh dispatch (do_plot.sh:2-9):
+        # the 6-panel dashboard when method4_stats.txt exists, else the
+        # plain trajectory overlay.
+        if os.path.exists(os.path.join(cfg.save_path, "method4_stats.txt")):
+            plot.plot_method4_dashboard(cfg.save_path)
+        else:
+            plot.plot_trajectories(
+                os.path.join(cfg.save_path, "init_nodes.txt"),
+                os.path.join(cfg.save_path, "opt_nodes.txt"),
+                os.path.join(cfg.save_path, "trajectory.png"),
+            )
     return 0
 
 
