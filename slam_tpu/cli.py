@@ -90,10 +90,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "chunk stays under the backend's ~1 min execution "
                         "deadline)")
     p.add_argument("--eval-linear", default=None,
-                   choices=[None, "auto", "schur"],
+                   choices=[None, "auto", "schur", "pcg", "dense"],
                    help="fused methods 3/4: candidate-evaluation solver "
-                        "(auto: loose PCG, the analog of the reference's "
-                        "1-2 inexact inner Ceres iterations; schur: exact)")
+                        "(auto: exact partitioned Schur on TPU -- measured "
+                        "3.2x faster than the loose-PCG eval at identical "
+                        "decisions -- dense on small CPU graphs; pcg is "
+                        "the analog of the reference's 1-2 inexact inner "
+                        "Ceres iterations)")
     p.add_argument("--eval-pcg-iters", type=int, default=None,
                    help="fused methods 3/4: CG cap of the PCG candidate "
                         "evaluations (default 64; lower is faster and "
