@@ -358,10 +358,14 @@ class FusedLayeringManager:
         if linear in ("auto", "schur"):
             if jax.default_backend() != "cpu":
                 # Exact partitioned Schur is the measured TPU default for
-                # the fused candidate evals: INTEL+50 method 3 runs 3.2x
-                # faster end-to-end than the PCG eval (1m08 vs 3m38, same
-                # 354 decisions) after the r1 Schur solver work.
-                linear = "schur"
+                # the fused candidate evals on INTEL-class graphs: method 3
+                # runs 3.2x faster end-to-end than the PCG eval (1m08 vs
+                # 3m38, same 354 decisions).  Above ~2k nodes a schur-eval
+                # scan chunk exceeds the axon worker's ~1-minute
+                # single-execution kill (M3500 run crashed with 'TPU worker
+                # process crashed'), so large graphs keep the PCG eval.
+                linear = ("schur" if self.graph.num_nodes <= 2048
+                          else "pcg")
             else:
                 linear = "dense" if self.graph.num_nodes <= 2048 else "pcg"
         if cfg.eval_linear in ("schur", "pcg", "dense"):
@@ -370,6 +374,13 @@ class FusedLayeringManager:
         if linear == "pcg":
             extra = dict(pcg_rtol=cfg.eval_pcg_rtol,
                          pcg_max_iters=cfg.eval_pcg_max_iters)
+        # Exact-eval chunks are heavier per candidate; halve the default
+        # chunk so one device call stays well under the axon worker's
+        # ~1-minute execution kill (decisions are chunking-invariant,
+        # pinned by test).
+        self.scan_chunk = cfg.scan_chunk
+        if linear == "schur" and cfg.scan_chunk >= 64:
+            self.scan_chunk = cfg.scan_chunk // 2
         self.eval_cfg = solver.replace(
             robust="none", huber_delta=cfg.huber_delta,
             linear_solver=linear, **extra,
@@ -422,7 +433,7 @@ class FusedLayeringManager:
         # checkpointing (see _fused_common.run_chunked).
         from slam_tpu.methods import _fused_common as fc
 
-        chunk = max(1, min(self.cfg.scan_chunk, C))
+        chunk = max(1, min(self.scan_chunk, C))
         pad = (-C) % chunk
         xs_np = [
             np.concatenate([cand, np.zeros(pad, np.int32)]),
