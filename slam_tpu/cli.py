@@ -92,11 +92,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval-linear", default=None,
                    choices=[None, "auto", "schur", "pcg", "dense"],
                    help="fused methods 3/4: candidate-evaluation solver "
-                        "(auto: exact partitioned Schur on TPU -- measured "
-                        "3.2x faster than the loose-PCG eval at identical "
-                        "decisions -- dense on small CPU graphs; pcg is "
-                        "the analog of the reference's 1-2 inexact inner "
-                        "Ceres iterations)")
+                        "(auto: exact partitioned Schur on TPU up to ~2k "
+                        "nodes -- measured 3.2x faster than the loose-PCG "
+                        "eval at identical decisions -- loose PCG above "
+                        "that and on large CPU graphs; pcg is the analog "
+                        "of the reference's 1-2 inexact inner Ceres "
+                        "iterations)")
     p.add_argument("--eval-pcg-iters", type=int, default=None,
                    help="fused methods 3/4: CG cap of the PCG candidate "
                         "evaluations (default 64; lower is faster and "
@@ -213,9 +214,11 @@ def main(argv=None) -> int:
         from slam_tpu.viz import plot
         import os
         # Mirror the reference's do_plot.sh dispatch (do_plot.sh:2-9):
-        # the 6-panel dashboard when method4_stats.txt exists, else the
-        # plain trajectory overlay.
-        if os.path.exists(os.path.join(cfg.save_path, "method4_stats.txt")):
+        # the 6-panel dashboard for a method-4 run, else the plain
+        # trajectory overlay.  Keyed on cfg.method, not on a (possibly
+        # stale) method4_stats.txt left in a reused save dir.
+        if cfg.method == 4 and os.path.exists(
+                os.path.join(cfg.save_path, "method4_stats.txt")):
             plot.plot_method4_dashboard(cfg.save_path)
         else:
             plot.plot_trajectories(

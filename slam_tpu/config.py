@@ -103,9 +103,11 @@ class LayeringConfig:
     # the faithful analog and ~5x cheaper than rtol 1e-8.
     eval_pcg_rtol: float = 1e-3
     eval_pcg_max_iters: int = 64
-    # Fused-engine eval linear solver: "auto" (schur on TPU -- measured
-    # 3.2x faster end-to-end than pcg on INTEL+50 method 3 with identical
-    # decisions -- dense on small CPU graphs), or explicit
+    # Fused-engine eval linear solver: "auto" = exact partitioned Schur
+    # on TPU for graphs up to ~2k nodes (measured 3.2x faster end-to-end
+    # than pcg on INTEL+50 method 3 with identical decisions), loose PCG
+    # above (a schur-eval scan chunk would exceed the axon worker's
+    # ~1-minute execution kill), dense on small CPU graphs; or explicit
     # "schur"/"pcg"/"dense".  Schur uses one shared partition for every
     # masked eval (masked-out edges contribute zero blocks).
     eval_linear: str = "auto"

@@ -100,3 +100,67 @@ def _concat(outs: list[dict]) -> dict:
     return {
         k: np.concatenate([o[k] for o in outs]) for k in outs[0]
     }
+
+
+def setup_eval_solver(graph, cfg, solver):
+    """Shared fused-engine eval-solver setup (methods 3 and 4).
+
+    Resolves the candidate-eval linear solver, builds the EdgeSet with the
+    right incidence tier, the shared Schur partition when applicable, and
+    the effective scan chunk.  Returns
+    ``(eval_cfg, edges, partition, scan_chunk)``.
+
+    Selection rules (all measured, results/README.md):
+    * TPU "auto": exact partitioned Schur up to ~2k nodes (method 3 runs
+      3.2x faster end-to-end than the PCG eval at identical decisions);
+      loose PCG above -- a schur-eval scan chunk would exceed the axon
+      worker's ~1-minute single-execution kill (an M3500 run died with
+      'TPU worker process crashed').
+    * CPU "auto": dense up to ~2k nodes, PCG above.
+    * Under the schur eval the DEFAULT scan chunk halves to 32 (INTEL
+      method-4 64-candidate chunks measured ~50 s -- at the kill
+      boundary); an explicitly-passed chunk is honored as given.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from slam_tpu.solver.problem import edge_set_from_graph
+
+    linear = solver.linear_solver
+    if linear in ("auto", "schur"):
+        if jax.default_backend() != "cpu":
+            linear = "schur" if graph.num_nodes <= 2048 else "pcg"
+        else:
+            linear = "dense" if graph.num_nodes <= 2048 else "pcg"
+    if cfg.eval_linear in ("schur", "pcg", "dense"):
+        linear = cfg.eval_linear
+    extra = {}
+    if linear == "pcg":
+        extra = dict(pcg_rtol=cfg.eval_pcg_rtol,
+                     pcg_max_iters=cfg.eval_pcg_max_iters)
+    scan_chunk = cfg.scan_chunk
+    if linear == "schur" and cfg.scan_chunk == 64:  # dataclass default
+        scan_chunk = 32
+    eval_cfg = solver.replace(
+        robust="none", huber_delta=cfg.huber_delta,
+        linear_solver=linear, **extra,
+    )
+    dtype = jnp.dtype(eval_cfg.dtype)
+    # PCG eval solves are incidence-bandwidth-bound: use the
+    # chain-compressed representation on accelerators (see EdgeSet);
+    # schur needs full incidence.
+    if linear == "schur":
+        inc = True
+    elif jax.default_backend() != "cpu":
+        inc = "chain"
+    else:
+        inc = None
+    edges = edge_set_from_graph(graph, dtype=dtype, incidence=inc)
+    partition = None
+    if linear == "schur":
+        from slam_tpu.solver.schur import build_partition
+        partition = build_partition(
+            graph.edges_ij, graph.num_nodes, cfg.eval_schur_blocks,
+            dtype=dtype,
+        )
+    return eval_cfg, edges, partition, scan_chunk

@@ -354,57 +354,10 @@ class FusedLayeringManager:
         self.checkpoint_path = checkpoint_path
 
         solver = solver or SolverConfig()
-        linear = solver.linear_solver
-        if linear in ("auto", "schur"):
-            if jax.default_backend() != "cpu":
-                # Exact partitioned Schur is the measured TPU default for
-                # the fused candidate evals on INTEL-class graphs: method 3
-                # runs 3.2x faster end-to-end than the PCG eval (1m08 vs
-                # 3m38, same 354 decisions).  Above ~2k nodes a schur-eval
-                # scan chunk exceeds the axon worker's ~1-minute
-                # single-execution kill (M3500 run crashed with 'TPU worker
-                # process crashed'), so large graphs keep the PCG eval.
-                linear = ("schur" if self.graph.num_nodes <= 2048
-                          else "pcg")
-            else:
-                linear = "dense" if self.graph.num_nodes <= 2048 else "pcg"
-        if cfg.eval_linear in ("schur", "pcg", "dense"):
-            linear = cfg.eval_linear
-        extra = {}
-        if linear == "pcg":
-            extra = dict(pcg_rtol=cfg.eval_pcg_rtol,
-                         pcg_max_iters=cfg.eval_pcg_max_iters)
-        # Exact-eval chunks are heavier per candidate; halve the default
-        # chunk so one device call stays well under the axon worker's
-        # ~1-minute execution kill (decisions are chunking-invariant,
-        # pinned by test).
-        self.scan_chunk = cfg.scan_chunk
-        if linear == "schur" and cfg.scan_chunk >= 64:
-            self.scan_chunk = cfg.scan_chunk // 2
-        self.eval_cfg = solver.replace(
-            robust="none", huber_delta=cfg.huber_delta,
-            linear_solver=linear, **extra,
-        )
+        from slam_tpu.methods._fused_common import setup_eval_solver
+        (self.eval_cfg, self.edges, self.partition,
+         self.scan_chunk) = setup_eval_solver(self.graph, cfg, solver)
         self.dtype = jnp.dtype(self.eval_cfg.dtype)
-        # PCG eval solves are incidence-bandwidth-bound: use the
-        # chain-compressed representation on accelerators (see EdgeSet);
-        # schur needs full incidence.
-        if linear == "schur":
-            inc = True
-        elif jax.default_backend() != "cpu":
-            inc = "chain"
-        else:
-            inc = None
-        self.edges = edge_set_from_graph(
-            self.graph, dtype=self.dtype, incidence=inc,
-        )
-        self.partition = None
-        if linear == "schur":
-            from slam_tpu.solver.schur import build_partition
-            self.partition = build_partition(
-                self.graph.edges_ij, self.graph.num_nodes,
-                cfg.eval_schur_blocks, dtype=self.dtype,
-            )
         et = self.graph.edge_type
         self.loop_indices = np.where(et != ODOMETRY_EDGE)[0]
         self.ij = self.graph.edges_ij

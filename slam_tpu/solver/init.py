@@ -91,17 +91,36 @@ def _laplacian_factor(n, a_idx, b_idx, w, rot_ab, K):
     cols.append(off)
     vals.append(np.full((K,), _ANCHOR_W))
 
-    # Orphan-node priors (see docstring).
-    deg = np.zeros((n,), np.float64)
-    np.add.at(deg, a_idx, w)
-    np.add.at(deg, b_idx, w)
-    orphan = np.where(deg == 0.0)[0]
-    orphan = orphan[orphan != 0]
-    if orphan.size:
-        oi = (orphan[:, None] * K + off[None, :]).ravel()
+    # Floating-component priors (see docstring).  Degree-0 orphans are not
+    # enough: a multi-node component disconnected from the anchor (second
+    # odometry segment whose bridging closure was gated to w=0) has a
+    # rank-deficient Laplacian block at every-positive degree and splu
+    # aborts.  Union-find over the LIVE (w>0) edges finds every component;
+    # one representative per non-anchor component gets a unit prior
+    # toward the per-solve fallback, which removes exactly the rank
+    # deficiency while leaving the anchored component untouched.
+    parent = np.arange(n)
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    live = w > 0.0
+    for a, b in zip(a_idx[live], b_idx[live]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    roots = np.array([find(i) for i in range(n)])
+    anchor_root = roots[0]
+    pinned = np.unique(roots[roots != anchor_root])
+    if pinned.size:
+        oi = (pinned[:, None] * K + off[None, :]).ravel()
         rows.append(oi)
         cols.append(oi)
         vals.append(np.ones(oi.shape[0]))
+    orphan = pinned  # per-solve fallback rhs applies to these nodes
 
     H = sp.coo_matrix(
         (np.concatenate(vals),

@@ -41,6 +41,11 @@ Array = jax.Array
 # 50 iters: cost 1.75 vs 1.52) -- faster-but-worse iterations are not a win
 # for a quality-gated iterations/s metric.
 _PREC = jax.lax.Precision.HIGHEST
+# Interior-elimination strategy threshold: explicit L-inverse (all-matmul)
+# up to this interior dimension, half-substitution triangular pass above
+# (the explicit (D*ni)^2 inverse is memory-bound and measured slower at
+# M10000's D*ni=3705).  Module-level so tests can force either branch.
+_INV_MAX_DIM = 1024
 
 
 class SchurPartition(NamedTuple):
@@ -540,7 +545,7 @@ def schur_solve(
         # LOSES (M10000 6.03 -> 5.78 it/s measured), so fall back to one
         # forward-triangular pass over [F | b] (still half of
         # cho_solve's forward+backward pair).
-        use_inv = A_b.shape[-1] <= 1024
+        use_inv = A_b.shape[-1] <= _INV_MAX_DIM
         if use_inv:
             eye = jnp.eye(A_b.shape[-1], dtype=dtype)
             Linv = jax.vmap(

@@ -168,3 +168,26 @@ def test_optimized_cuts_partition_valid(problem):
     np.testing.assert_allclose(
         np.asarray(res.poses), np.asarray(res_d.poses), atol=1e-9
     )
+
+
+def test_schur_half_substitution_branch_matches_dense(problem, monkeypatch):
+    """Force the large-interior (half-substitution) elimination branch --
+    normally only taken when D*ni > 1024 (M10000-class) -- and pin it
+    against the dense solver like the default branch."""
+    from slam_tpu.solver import schur as schur_mod
+    from slam_tpu.solver.lm import lm_solve
+    from slam_tpu.config import SolverConfig
+
+    monkeypatch.setattr(schur_mod, "_INV_MAX_DIM", 0)
+    graph, edges, free, poses0, sw0 = problem
+    part = build_partition(graph.edges_ij, graph.num_nodes, 4,
+                           dtype=jnp.float64)
+    cfg_d = SolverConfig(robust="dcs", linear_solver="dense",
+                         dtype="float64", use_pallas="off",
+                         max_iterations=6, function_tolerance=0.0)
+    cfg_s = cfg_d.replace(linear_solver="schur")
+    res_d = lm_solve(poses0, sw0, edges, free, cfg_d)
+    res_s = lm_solve(poses0, sw0, edges, free, cfg_s, partition=part)
+    np.testing.assert_allclose(
+        np.asarray(res_s.poses), np.asarray(res_d.poses), atol=1e-9
+    )
