@@ -95,8 +95,11 @@ class LayeringConfig:
     beta_sparse: float = 0.05
     # Fused engine: candidates per device call (the remote TPU backend
     # kills single executions running past ~1 min; state stays on device
-    # between chunks, so this only bounds per-call runtime).
-    scan_chunk: int = 64
+    # between chunks, so this only bounds per-call runtime).  None =
+    # adaptive: the chunk runner times each device call and resizes to
+    # stay under the deadline (methods/_fused_common.py); an explicit
+    # value is honored as given.
+    scan_chunk: int | None = None
     # Inner-solve accuracy for the candidate evaluations when the eval
     # solver is PCG (TPU).  The reference's evaluate_cost runs 1-2 *inexact*
     # Ceres iterations (``layer_manager.cpp:642``); a loose CG tolerance is
@@ -131,7 +134,7 @@ class MctsConfig:
     residual_high: float = 50.0
     local_window: int = 20
     # Fused engine chunking + inner-solve accuracy (see LayeringConfig).
-    scan_chunk: int = 64
+    scan_chunk: int | None = None
     eval_pcg_rtol: float = 1e-3
     eval_pcg_max_iters: int = 64
     eval_linear: str = "auto"

@@ -27,52 +27,129 @@ def fingerprint(*arrays, extra: str = "") -> str:
     return h.hexdigest()[:16]
 
 
+# Adaptive chunking (scan_chunk=None): probe at MIN_CHUNK candidates,
+# measure the per-candidate device time, then size subsequent chunks to
+# fill (but never exceed) the worker deadline.  Chunk sizes are powers of
+# two times MIN_CHUNK so the whole run compiles at most a handful of
+# distinct programs (each cached persistently).  The axon backend kills
+# single executions at ~1 min; 35 s leaves margin for dispatch jitter.
+MIN_CHUNK = 8
+MAX_CHUNK = 128
+DEFAULT_DEADLINE_S = 35.0
+
+
+def _pick_chunk(per_cand_s: float, deadline_s: float) -> int:
+    """Largest power-of-two chunk whose predicted wall stays under 80% of
+    the deadline (the 20% headroom absorbs state-dependent cost growth,
+    e.g. more live layers later in the run)."""
+    size = MIN_CHUNK
+    while size * 2 <= MAX_CHUNK and per_cand_s * size * 2 <= 0.8 * deadline_s:
+        size *= 2
+    return size
+
+
 def run_chunked(
     state,                 # initial scan-state NamedTuple (device arrays)
     chunk_fn,              # _fused_chunk(state, *consts, *xs_chunk, cfg, solver)
     consts: tuple,
     xs_np: list[np.ndarray],   # per-candidate arrays, ALREADY padded
     xs_dtypes: list,
-    chunk: int,
+    chunk: int | None,     # None = adaptive (measured, deadline-driven)
     n_live: int,           # true candidate count (pre-padding)
     cfg,
     solver,
     checkpoint_path: str | None = None,
     fp: str = "",
+    deadline_s: float | None = None,
+    logger=None,
 ):
     """Returns ``(final_state, outs)`` with ``outs`` host-side, concatenated
-    across chunks and truncated to ``n_live``."""
+    across chunks and truncated to ``n_live``.
+
+    ``chunk=None`` enables the adaptive policy: the first MIN_CHUNK
+    candidates are a timed probe (compile excluded via an explicit AOT
+    ``lower().compile()`` warm-up), the measured per-candidate time picks
+    the steady-state chunk, and any chunk that still runs past 80% of the
+    deadline halves the size for the remainder.  An explicit integer chunk
+    is honored exactly as given (no halving, no resizing)."""
+    import time
+
     import jax.numpy as jnp
 
     from slam_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
     total = xs_np[0].shape[0]
-    assert total % chunk == 0
-    start = 0
+    adaptive = chunk is None
+    if adaptive:
+        if deadline_s is None:
+            deadline_s = float(os.environ.get(
+                "SLAM_TPU_CHUNK_DEADLINE_S", DEFAULT_DEADLINE_S))
+        chunk = MIN_CHUNK
+        assert total % MIN_CHUNK == 0
+    else:
+        assert total % chunk == 0
+    done = 0
     outs: list = []
 
     if checkpoint_path and os.path.exists(checkpoint_path):
         saved, meta = load_checkpoint(checkpoint_path)
-        if meta.get("fingerprint") == fp and meta.get("chunk") == chunk:
-            start = int(meta["chunks_done"]) * chunk
+        resumable = meta.get("fingerprint") == fp and (
+            adaptive or meta.get("done", -1) % chunk == 0
+        )
+        if resumable:
+            done = int(meta.get("done", 0))
             state = type(state)(
                 **{k: jnp.asarray(saved[f"s_{k}"])
                    for k in state._fields}
             )
-            if start > 0:
+            if done > 0:
                 prev = {
                     k[2:]: saved[k] for k in saved if k.startswith("o_")
                 }
                 outs = [prev] if prev else []
 
-    for s0 in range(start, total, chunk):
-        sl = slice(s0, s0 + chunk)
-        state, o = chunk_fn(
+    warmed: set[int] = set()
+    probed = not adaptive
+
+    while done < total:
+        remaining = total - done
+        size = min(chunk, remaining)
+        if adaptive and remaining < chunk:
+            # Tail: reuse the already-compiled MIN_CHUNK program instead
+            # of compiling a one-off remainder size.
+            size = MIN_CHUNK
+        sl = slice(done, done + size)
+        args = (
             state, *consts,
             *[jnp.asarray(x[sl], dt) for x, dt in zip(xs_np, xs_dtypes)],
-            cfg, solver,
         )
-        outs.append(jax.device_get(o._asdict()))
+        if adaptive and size not in warmed and hasattr(chunk_fn, "lower"):
+            # Compile outside the timed region so the probe measures
+            # execution, not compilation.
+            chunk_fn.lower(*args, cfg, solver).compile()
+            warmed.add(size)
+        t0 = time.perf_counter()
+        state, o = chunk_fn(*args, cfg, solver)
+        outs.append(jax.device_get(o._asdict()))  # honest barrier
+        wall = time.perf_counter() - t0
+        done += size
+
+        if adaptive:
+            per_cand = wall / size
+            if not probed:
+                probed = True
+                chunk = _pick_chunk(per_cand, deadline_s)
+                if logger is not None:
+                    logger.log("chunk", probe_s=round(wall, 3),
+                               per_candidate_s=round(per_cand, 4),
+                               chunk=chunk, deadline_s=deadline_s)
+            elif wall > 0.8 * deadline_s and chunk > MIN_CHUNK:
+                chunk = max(MIN_CHUNK, chunk // 2)
+                if logger is not None:
+                    logger.log("chunk", resized=chunk,
+                               wall_s=round(wall, 3),
+                               deadline_s=deadline_s)
+
         if checkpoint_path:
             merged = _concat(outs)
             save_checkpoint(
@@ -80,11 +157,7 @@ def run_chunked(
                 {**{f"s_{k}": np.asarray(v)
                     for k, v in jax.device_get(state)._asdict().items()},
                  **{f"o_{k}": v for k, v in merged.items()}},
-                meta={
-                    "fingerprint": fp,
-                    "chunk": chunk,
-                    "chunks_done": (s0 + chunk) // chunk,
-                },
+                meta={"fingerprint": fp, "done": done},
             )
             outs = [merged]
 
@@ -117,9 +190,10 @@ def setup_eval_solver(graph, cfg, solver):
       worker's ~1-minute single-execution kill (an M3500 run died with
       'TPU worker process crashed').
     * CPU "auto": dense up to ~2k nodes, PCG above.
-    * Under the schur eval the DEFAULT scan chunk halves to 32 (INTEL
-      method-4 64-candidate chunks measured ~50 s -- at the kill
-      boundary); an explicitly-passed chunk is honored as given.
+    * scan_chunk None (the default): adaptive on accelerators -- the chunk
+      runner probes, measures, and sizes chunks to the worker deadline
+      (run_chunked); static 64 on CPU (no deadline there).  An explicit
+      chunk is honored exactly as given.
     """
     import jax
     import jax.numpy as jnp
@@ -139,18 +213,20 @@ def setup_eval_solver(graph, cfg, solver):
         extra = dict(pcg_rtol=cfg.eval_pcg_rtol,
                      pcg_max_iters=cfg.eval_pcg_max_iters)
     scan_chunk = cfg.scan_chunk
-    if linear == "schur" and cfg.scan_chunk == 64:  # dataclass default
-        scan_chunk = 32
+    if scan_chunk is None and jax.default_backend() == "cpu":
+        scan_chunk = 64
     eval_cfg = solver.replace(
         robust="none", huber_delta=cfg.huber_delta,
         linear_solver=linear, **extra,
     )
     dtype = jnp.dtype(eval_cfg.dtype)
-    # PCG eval solves are incidence-bandwidth-bound: use the
-    # chain-compressed representation on accelerators (see EdgeSet);
-    # schur needs full incidence.
-    if linear == "schur":
-        inc = True
+    # Eval solves are incidence-bandwidth-bound: use the chain-compressed
+    # representation on accelerators (see EdgeSet).  The Schur eval takes
+    # all topology from the precomputed SchurPartition maps, so it rides
+    # the compressed incidence too (global_solve.py does the same); only
+    # the dense eval consumes inc_a directly (backend auto handles it).
+    if linear == "dense":
+        inc = None
     elif jax.default_backend() != "cpu":
         inc = "chain"
     else:

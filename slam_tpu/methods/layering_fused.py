@@ -386,8 +386,12 @@ class FusedLayeringManager:
         # checkpointing (see _fused_common.run_chunked).
         from slam_tpu.methods import _fused_common as fc
 
-        chunk = max(1, min(self.scan_chunk, C))
-        pad = (-C) % chunk
+        # None = adaptive chunking (run_chunked probes and resizes under
+        # the worker deadline); an explicit chunk is honored as given.
+        chunk = self.scan_chunk
+        align = fc.MIN_CHUNK if chunk is None else max(1, min(chunk, C))
+        chunk = chunk if chunk is None else align
+        pad = (-C) % align
         xs_np = [
             np.concatenate([cand, np.zeros(pad, np.int32)]),
             np.concatenate([g.edges_ij[cand],
@@ -416,7 +420,7 @@ class FusedLayeringManager:
         state, merged = fc.run_chunked(
             state, _fused_chunk, consts, xs_np, dtypes, chunk, C,
             self.cfg, self.eval_cfg,
-            checkpoint_path=self.checkpoint_path, fp=fp,
+            checkpoint_path=self.checkpoint_path, fp=fp, logger=self.log,
         )
         return self._replay(state, _ScanOut(**merged))
 

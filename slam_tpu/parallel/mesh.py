@@ -85,9 +85,11 @@ def make_replica_block_mesh(
     DCN/outer dimension (zero collectives cross it) and the block axis
     rides ICI (separator psums)."""
     devs = jax.devices()[: num_replicas * num_blocks]
-    assert len(devs) == num_replicas * num_blocks, (
-        f"need {num_replicas * num_blocks} devices, have {len(jax.devices())}"
-    )
+    if len(devs) != num_replicas * num_blocks:
+        raise ValueError(
+            f"need {num_replicas * num_blocks} devices, "
+            f"have {len(jax.devices())}"
+        )
     return Mesh(
         np.array(devs).reshape(num_replicas, num_blocks),
         (REPLICA_AXIS, BLOCK_AXIS),

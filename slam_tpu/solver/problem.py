@@ -40,8 +40,9 @@ class EdgeSet(NamedTuple):
     are ~265 MB each (bf16) and every PCG matvec reads them; the chain
     covers ~76% of the edges for free.  Built by
     ``edge_set_from_graph(incidence="chain")`` when the canonical edge
-    order starts with the dense chain.  The dense/Schur solvers require
-    FULL incidence (they consume ``inc_a`` directly).
+    order starts with the dense chain.  Only the DENSE solver requires
+    full incidence (it consumes ``inc_a`` directly); the Schur solver
+    takes all topology from its precomputed ``SchurPartition`` maps.
     """
 
     ij: jnp.ndarray        # (E, 2) int32 endpoints

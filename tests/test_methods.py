@@ -223,6 +223,38 @@ def test_fused_layering_chunking_invariant(dirty_circle):
     np.testing.assert_allclose(small.poses, big.poses, atol=0)
 
 
+def test_fused_layering_adaptive_chunking_invariant(dirty_circle):
+    """Adaptive chunking (scan_chunk=None: timed probe chunk, measured
+    resize, MIN_CHUNK tail) must reproduce the static-chunk decisions
+    exactly -- only the slicing differs, never the scan semantics."""
+    graph, _ = dirty_circle
+    from slam_tpu.methods.layering_fused import FusedLayeringManager
+
+    cfg = LayeringConfig(local_iters=2, max_layers=8)
+    static = FusedLayeringManager(
+        graph, cfg, _SOLVER, RunLogger(echo=False)
+    ).run()
+
+    mgr = FusedLayeringManager(graph, cfg, _SOLVER, RunLogger(echo=False))
+    mgr.scan_chunk = None  # setup resolves CPU default 64; force adaptive
+    adaptive = mgr.run()
+
+    # A tiny deadline pins the chunk at MIN_CHUNK for the whole run.
+    import os
+    mgr2 = FusedLayeringManager(graph, cfg, _SOLVER, RunLogger(echo=False))
+    mgr2.scan_chunk = None
+    os.environ["SLAM_TPU_CHUNK_DEADLINE_S"] = "1e-9"
+    try:
+        tiny = mgr2.run()
+    finally:
+        del os.environ["SLAM_TPU_CHUNK_DEADLINE_S"]
+
+    for out in (adaptive, tiny):
+        assert out.assignments == static.assignments
+        assert out.best_layer == static.best_layer
+        np.testing.assert_allclose(out.poses, static.poses, atol=0)
+
+
 def test_fused_mcts_matches_host(dirty_circle):
     """The single-program (lax.scan) method 4 reproduces the host-driven
     MCTS manager's decision sequence and final tree exactly (f64/CPU)."""
