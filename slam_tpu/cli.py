@@ -70,6 +70,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "closure-sparse graphs")
     p.add_argument("--dtype", default=None, choices=[None, "float32", "float64"],
                    help="default: float32 on TPU, float64 on CPU")
+    p.add_argument("--report-stages", action="store_true",
+                   help="add per-stage (linearize / linear solve / "
+                        "retract+cost) timings to the solve report -- "
+                        "times one standalone jitted call per stage "
+                        "(extra compiles, persistent-cached)")
     p.add_argument("--plot", action="store_true", help="write trajectory PNG")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the solve into DIR "
@@ -133,6 +138,7 @@ def config_from_args(args) -> RunConfig:
         seed=args.seed,
         save_path=args.save_path,
         init=getattr(args, "init", "dataset"),
+        report_stages=getattr(args, "report_stages", False),
         solver=solver,
         layering=LayeringConfig(**_fused_overrides(args)),
         mcts=MctsConfig(**_fused_overrides(args)),

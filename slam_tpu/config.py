@@ -155,6 +155,10 @@ class RunConfig:
     # initialization (solver/init.py) -- required for rotation-corrupted
     # graphs like M3500b/M3500c.
     init: str = "dataset"
+    # Time the linearize / linear-solve / retract stages for the solve
+    # report (one standalone jitted call each -- extra compiles, hence
+    # opt-in; the report's termination/step/cost fields are always free).
+    report_stages: bool = False
     solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
     layering: LayeringConfig = dataclasses.field(default_factory=LayeringConfig)
     mcts: MctsConfig = dataclasses.field(default_factory=MctsConfig)

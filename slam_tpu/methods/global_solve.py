@@ -136,6 +136,19 @@ def run_global_solve(
         linear_iters=int(res.lin_iters),
         wall_s=wall,
     )
+    # FullReport analog (main.cpp:164): termination classification + step
+    # accounting always; per-stage timing when cfg.report_stages.
+    from slam_tpu.solver.report import build_report, measure_stages
+
+    stage_times = None
+    if cfg.report_stages:
+        stage_times = measure_stages(
+            res.poses, res.switches, edges, free, scfg, model,
+            partition=partition,
+        )
+    report = build_report(res, scfg, wall, stage_times)
+    logger.log("report", **report.fields())
+    print(report.text())
     return GlobalSolveOutput(
         graph=graph,
         poses=np.asarray(jax.device_get(res.poses)),

@@ -55,3 +55,41 @@ def test_plotters_write_pngs(tmp_path):
         f.write("L2 2 -0.5 -0.25 -0.3 2 1 1\n")
     out = plot.plot_method4_dashboard(str(tmp_path))
     assert os.path.getsize(out) > 1000
+
+
+def test_rpe_rigid_invariance_and_sensitivity():
+    """Frame-local RPE (Kummerle-style) is invariant to any global rigid
+    transform -- including rotation, which the old world-frame displacement
+    version was not -- and rpe_rot/ate_rot catch rotation-field damage that
+    translation-only ATE can miss."""
+    rng = np.random.default_rng(3)
+    p = np.cumsum(rng.normal(size=(60, 3)), axis=0)
+    p[:, 2] = np.cumsum(rng.normal(scale=0.1, size=60))
+    th = 0.7
+    c, s = np.cos(th), np.sin(th)
+    q = p.copy()
+    q[:, :2] = p[:, :2] @ np.array([[c, -s], [s, c]]).T + np.array([3.0, 4.0])
+    q[:, 2] = p[:, 2] + th
+    assert metrics.rpe(q, p) < 1e-12
+    assert metrics.rpe_rot(q, p) < 1e-12
+    assert metrics.ate_rot(q, p) < 1e-12
+    # Bend the heading field mid-trajectory: rotational metrics fire.
+    q2 = q.copy()
+    q2[30:, 2] += 0.4
+    assert metrics.rpe_rot(q2, p) > 0.01
+    assert metrics.ate_rot(q2, p) > 0.1
+
+
+def test_rpe_se3_identity_and_perturbation():
+    rng = np.random.default_rng(4)
+    p = np.zeros((25, 7))
+    p[:, :3] = np.cumsum(rng.normal(size=(25, 3)), axis=0)
+    # random unit quaternions
+    quat = rng.normal(size=(25, 4))
+    p[:, 3:7] = quat / np.linalg.norm(quat, axis=1, keepdims=True)
+    assert metrics.rpe(p, p) == 0.0
+    assert metrics.rpe_rot(p, p) < 1e-12
+    assert metrics.ate_rot(p, p) < 1e-9
+    q = p.copy()
+    q[:, :3] += rng.normal(scale=0.05, size=(25, 3))
+    assert metrics.rpe(q, p) > 0.01
