@@ -49,6 +49,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "iterations (0 = off, the reference behaviour)")
     p.add_argument("--gnc-scale", type=float, default=1e4,
                    help="initial phi multiplier for --gnc-iters")
+    p.add_argument("--no-dcs-auto-retry", action="store_true",
+                   help="disable the DCS closure-dropout auto-retry (the "
+                        "GNC-annealed re-solve when a plain DCS solve ends "
+                        "with most closures suppressed -- the M3500/MIT "
+                        "bad-init failure mode)")
     p.add_argument("--init", default="dataset",
                    choices=["dataset", "chordal"],
                    help="initial guess: dataset vertex estimates (the "
@@ -130,6 +135,7 @@ def config_from_args(args) -> RunConfig:
         dtype=dtype,
         gnc_anneal_iters=getattr(args, "gnc_iters", 0),
         gnc_init_scale=getattr(args, "gnc_scale", 1e4),
+        dcs_auto_retry=not getattr(args, "no_dcs_auto_retry", False),
     )
     return RunConfig(
         dataset=args.dataset,

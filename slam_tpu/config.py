@@ -46,6 +46,21 @@ class SolverConfig:
     gnc_anneal_iters: int = 0
     gnc_init_scale: float = 1e4
 
+    # DCS closure-dropout auto-retry (method 1, global solve only).  DCS has
+    # a pathological fixed point on poorly-initialized graphs: the whitened
+    # closure residuals start huge, psi ~ 0 turns every closure OFF, and LM
+    # converges to the (lower-cost!) odometry-only minimum -- measured on
+    # M3500 (ATE ~10 m at ATE-0 achievable) and MIT.  After a plain DCS
+    # solve, if the mean psi over loop edges at the FINAL iterate is below
+    # ``dcs_retry_threshold`` the solve "gave up" on loop closures; re-solve
+    # from the same init with GNC annealing and keep the retry iff it
+    # explains more closures (higher mean final psi).  Costs one extra solve
+    # only when triggered; healthy runs (INTEL/CSAIL: final mean psi near 1)
+    # never trigger, preserving reference-identical behaviour there.
+    dcs_auto_retry: bool = True
+    dcs_retry_threshold: float = 0.35
+    dcs_retry_gnc_iters: int = 20
+
     # LM trust-region loop (Ceres defaults: 50 iters, ftol 1e-6).
     max_iterations: int = 50
     function_tolerance: float = 1e-6

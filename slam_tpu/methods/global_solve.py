@@ -122,6 +122,34 @@ def run_global_solve(
         model=model, partition=partition,
     )
     jax.block_until_ready(res.poses)
+
+    # DCS closure-dropout auto-retry (see SolverConfig.dcs_auto_retry): a
+    # low mean final psi means DCS converged to the closure-free minimum
+    # (M3500/MIT failure mode); a GNC-annealed re-solve from the same init
+    # escapes it.  Kept only if it actually re-explains closures.
+    if (scfg.robust == "dcs" and scfg.dcs_auto_retry
+            and not scfg.gnc_anneal_iters):
+        from slam_tpu.solver.linearize import loop_psi_mean
+
+        psi0 = float(loop_psi_mean(res.poses, edges, model, scfg.dcs_phi))
+        if psi0 < scfg.dcs_retry_threshold:
+            retry_cfg = scfg.replace(
+                gnc_anneal_iters=scfg.dcs_retry_gnc_iters)
+            res2 = lm_solve(
+                poses0, switches0, edges, free, retry_cfg,
+                model=model, partition=partition,
+            )
+            jax.block_until_ready(res2.poses)
+            psi1 = float(
+                loop_psi_mean(res2.poses, edges, model, scfg.dcs_phi))
+            keep = psi1 > psi0 + 0.05
+            logger.log(
+                "retry", reason="dcs-closure-dropout",
+                mean_psi_before=psi0, mean_psi_after=psi1,
+                gnc_iters=scfg.dcs_retry_gnc_iters, kept=bool(keep),
+            )
+            if keep:
+                res = res2
     wall = time.perf_counter() - t0
 
     logger.log(

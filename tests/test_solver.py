@@ -275,3 +275,65 @@ def test_chordal_init_survives_orphan_nodes():
     # Connected nodes follow the odometry; the closure-only node ends up
     # either at its fallback pose or at the closure-implied position.
     np.testing.assert_allclose(p[1, :2], [1.0, 0.0], atol=1e-6)
+
+
+def test_dcs_auto_retry_escapes_closure_dropout(tmp_path):
+    """DCS's pathological fixed point (psi ~ 0 turns every closure off; LM
+    converges to the lower-cost odometry-only minimum -- the M3500/MIT
+    failure) is detected by the mean final psi probe and escaped by the
+    GNC-annealed auto-retry (SolverConfig.dcs_auto_retry)."""
+    import jax.numpy as jnp
+
+    from slam_tpu.config import RunConfig, SolverConfig
+    from slam_tpu.io import synthetic
+    from slam_tpu.methods.global_solve import run_global_solve
+    from slam_tpu.solver.linearize import loop_psi_mean
+    from slam_tpu.solver.models import SE2Model
+    from slam_tpu.solver.problem import edge_set_from_graph
+    from slam_tpu.utils.logging import RunLogger
+
+    # Rotation-heavy odometry noise: integrated init is far off, closures
+    # start with psi ~ 0 (the chicken-and-egg bad-init regime).
+    g, gt = synthetic.manhattan_se2(
+        n=300, odo_noise=(0.05, 0.15), seed=3, max_closures=300)
+    base = SolverConfig(dtype="float64", linear_solver="dense")
+    edges = edge_set_from_graph(g, dtype=jnp.float64)
+
+    off = run_global_solve(
+        g, RunConfig(method=1, solver=base.replace(dcs_auto_retry=False)),
+        RunLogger(echo=False))
+    psi_off = float(loop_psi_mean(
+        jnp.asarray(off.poses), edges, SE2Model, 0.5))
+    assert psi_off < 0.35, "fixture must exhibit closure dropout"
+
+    logpath = tmp_path / "retry.log"
+    logger = RunLogger(str(logpath), echo=False)
+    on = run_global_solve(g, RunConfig(method=1, solver=base), logger)
+    logger.close()
+    psi_on = float(loop_psi_mean(
+        jnp.asarray(on.poses), edges, SE2Model, 0.5))
+    assert psi_on > 0.9, psi_on  # closures re-explained
+    text = logpath.read_text()
+    assert "[retry]" in text and "kept=True" in text
+    from slam_tpu.eval import metrics
+    assert metrics.ate(on.poses, gt) < metrics.ate(off.poses, gt)
+
+
+def test_dcs_auto_retry_not_triggered_on_healthy_solve(circle, tmp_path):
+    """A healthy DCS solve (final psi near 1) must not pay the retry --
+    reference-identical behaviour on INTEL-class graphs."""
+    from slam_tpu.config import RunConfig, SolverConfig
+    from slam_tpu.methods.global_solve import run_global_solve
+    from slam_tpu.utils.logging import RunLogger
+
+    graph, _ = circle
+    logpath = tmp_path / "noretry.log"
+    logger = RunLogger(str(logpath), echo=False)
+    run_global_solve(
+        graph,
+        RunConfig(method=1,
+                  solver=SolverConfig(dtype="float64",
+                                      linear_solver="dense")),
+        logger)
+    logger.close()
+    assert "[retry]" not in logpath.read_text()
