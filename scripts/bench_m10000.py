@@ -54,13 +54,18 @@ def run(spec: str) -> dict:
     sw0 = jnp.ones((edges.num_edges,), jnp.float32)
 
     partition = None
-    if kind in ("schur", "schuropt", "schurgnc"):
+    if kind in ("schur", "schuropt", "schurgnc", "schurblk"):
         # ``schuropt:P`` places the block cuts with the span-minimising DP
         # (optimize_cut_positions) instead of equal-size slicing.
         # ``schurgnc:P`` = equal cuts + graduated non-convexity (phi
         # annealed over the first 2/3 of the iterations).
         gnc = dict(gnc_anneal_iters=LM_ITERS * 2 // 3) \
             if kind == "schurgnc" else {}
+        # ``schurblk:P`` = panel-blocked MXU Cholesky/solves instead of
+        # XLA natives (blocked_chol.py; the candidate at this interior
+        # size, where XLA's sequential factor/solve dominates).
+        if kind == "schurblk":
+            gnc["schur_blocked"] = True
         cfg = SolverConfig(robust="dcs", linear_solver="schur",
                            dtype="float32", **gnc)
         partition = build_partition(dirty.edges_ij, dirty.num_nodes, blocks,

@@ -54,12 +54,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "GNC-annealed re-solve when a plain DCS solve ends "
                         "with most closures suppressed -- the M3500/MIT "
                         "bad-init failure mode)")
-    p.add_argument("--init", default="dataset",
-                   choices=["dataset", "chordal"],
-                   help="initial guess: dataset vertex estimates (the "
-                        "reference behaviour) or chordal rotation-first "
-                        "initialization (for rotation-corrupted graphs "
-                        "like M3500b/c)")
+    p.add_argument("--init", default="auto",
+                   choices=["auto", "dataset", "chordal"],
+                   help="initial guess: auto (default) picks PCM-gated / "
+                        "plain chordal or the dataset estimates by "
+                        "measured drift (solver/init.py); dataset = the "
+                        "reference behaviour (g2o_util.h:37-47); chordal "
+                        "= always the rotation-first init")
     p.add_argument("--huber-delta", type=float, default=0.01)
     p.add_argument("--sc-lambda", type=float, default=1.0)
     p.add_argument("--sc-varpro", action="store_true",

@@ -78,6 +78,13 @@ class SolverConfig:
     # reduction); "jacobi": block-diagonal.
     pcg_preconditioner: str = "tridiag"
 
+    # Schur factorization kernels: False = XLA native cho_factor /
+    # TriangularSolve (wins at INTEL-size interiors, results/README.md);
+    # True = panel-blocked MXU Cholesky/solves (blocked_chol.py -- the
+    # candidate at M10000-size interiors where XLA's sequential natives
+    # dominate the iteration).
+    schur_blocked: bool = False
+
     # Numerics.  float32 is TPU-native; tests validate f32 vs f64 fixed points.
     dtype: str = "float32"
 
@@ -165,11 +172,15 @@ class RunConfig:
     method: int = METHOD_BASELINE
     seed: int = 0
     save_path: str = "save"
-    # Initial guess: "dataset" = the g2o vertex estimates (the reference's
-    # behaviour, g2o_util.h:37-47); "chordal" = rotation-first linear
-    # initialization (solver/init.py) -- required for rotation-corrupted
-    # graphs like M3500b/M3500c.
-    init: str = "dataset"
+    # Initial guess: "auto" (default) = PCM-gated chordal when the pairwise
+    # consistency test is trustworthy (fixes the M3500-family bad-init
+    # failure), un-gated chordal on rotation-corrupted-but-translation-sane
+    # graphs (M3500b/c), dataset estimates on high-drift raw-odometry
+    # graphs (INTEL/MIT -- the reference's behaviour preserved where it
+    # works); "dataset" = always the g2o vertex estimates
+    # (g2o_util.h:37-47); "chordal" = always the rotation-first linear
+    # initialization (solver/init.py).
+    init: str = "auto"
     # Time the linearize / linear-solve / retract stages for the solve
     # report (one standalone jitted call each -- extra compiles, hence
     # opt-in; the report's termination/step/cost fields are always free).

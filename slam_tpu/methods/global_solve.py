@@ -40,13 +40,12 @@ class GlobalSolveOutput:
 
 
 def pick_linear_solver(graph: PoseGraph, robust: str) -> str:
-    """Size/robustness-based default: dense MXU Cholesky is exact and fast
-    up to ~2k nodes; beyond that f32 dense both slows (O(n^3)) and loses
-    accuracy, so the partitioned Schur solver takes over.  Joint SC carries
-    extra switch unknowns that only the dense path assembles (the varpro
-    variant eliminates them and works with every solver)."""
-    if robust == "sc":
-        return "dense"
+    """Size-based default: dense MXU Cholesky is exact and fast up to ~2k
+    nodes; beyond that f32 dense both slows (O(n^3)) and loses accuracy,
+    so the partitioned Schur solver takes over.  Joint SC rides Schur too:
+    the diagonal switch block is exactly pre-eliminated
+    (``linear.eliminate_switches``), so method 2 no longer caps at the
+    dense path."""
     return "dense" if graph.num_nodes <= 2048 else "schur"
 
 

@@ -205,13 +205,38 @@ def _project_so3(X):
 def chordal_init(
     graph: PoseGraph,
     huber_irls_rounds: int = 1,
-    huber_delta: float = 0.1,
+    huber_delta: float = 0.15,
+    pcm_result=None,
 ) -> PoseGraph:
     """Return the graph with poses replaced by the chordal initialization.
 
-    ``huber_irls_rounds`` re-solves the rotation stage with Huber weights
-    on the chordal residual norms (protects against bogus loop closures;
-    0 = plain least squares).
+    ``huber_irls_rounds > 0`` enables the robust rotation stage: GNC-GM
+    annealing (Yang et al., graduated non-convexity) over the LINEAR
+    chordal problem -- each surrogate is a weighted least squares solved
+    exactly (splu), which is the regime where graduated annealing is sound
+    (unlike annealing inside a non-convex LM loop, measured to lock
+    outliers in on M3500/CSAIL with injected bogus loops).  The control
+    parameter mu starts high enough that every loop edge is near-quadratic
+    and shrinks geometrically; Geman-McClure weights
+    ``(mu d^2 / (r^2 + mu d^2))^2`` gradually shut high-residual edges
+    off, and a final HARD gate (``r > 3 d`` -> weight 0) removes them
+    outright -- downweighting alone is not enough on floppy chain graphs
+    (a w=0.004 bogus loop still bends a 10k-node solve by ~1 rad,
+    measured).  ``huber_delta`` is the inlier rotation-residual scale
+    (chordal norm ~ |dtheta| for small angles); the single-round quantile
+    heuristic this replaces could not separate drift-driven real-closure
+    residuals from bogus ones on M3500 (10 injected loops bent the field
+    by 0.95 rad).
+
+    ``pcm_result`` (a :class:`slam_tpu.robust.pcm.PcmResult`) hard-excludes
+    loops its pairwise-consistency core rejected from BOTH linear stages.
+    This is load-bearing against the reference's injector: on grid worlds
+    most bogus edges are rotation-INLIERS whose translation lie the floppy
+    Laplacian absorbs smoothly, so no per-edge residual test (this
+    function's own GNC included) can find them -- only the pairwise cycle
+    test can (robust/pcm.py).
+
+    0 = plain least squares over all edges.
     """
     g = graph
     ij = np.asarray(g.edges_ij)
@@ -219,6 +244,10 @@ def chordal_init(
     n = g.num_nodes
     meas = np.asarray(g.edges_meas, np.float64)
     w = np.ones((ij.shape[0],), np.float64)
+    pcm_w = np.ones_like(w)
+    if pcm_result is not None:
+        pcm_w[pcm_result.loop_edges[~pcm_result.loop_mask]] = 0.0
+        w = w * pcm_w
 
     if g.dim == 3:
         # Row convention (r as a row vector): r_b = r_a @ M(t_ab)^T, so the
@@ -262,42 +291,54 @@ def chordal_init(
 
     if huber_irls_rounds > 0:
         # Bootstrap from odometry only (the trusted edge class,
-        # g2o_util.h:68): a plain LS over ALL edges is already poisoned
-        # when bogus loops outnumber real closures, and IRLS started from
-        # it downweights good and bad closures alike.  The odometry chain
-        # gives an honest (if drifty) rotation field to judge closures
-        # against; odometry edges are never reweighted.
+        # g2o_util.h:68) -- not as the final judge of closures (its drift
+        # makes real closures and bogus ones overlap on M3500-class
+        # graphs), but as an honest residual-scale probe for the GNC
+        # schedule.  Odometry edges are never reweighted.
+        delta = huber_delta
         x = solve_rot(np.where(loop, 0.0, 1.0))
-        for _ in range(huber_irls_rounds):
-            rn = residual_norm(x)
-            # Scale the suppression threshold by the loop-residual
-            # distribution (median + 3 robust sigmas): on a noisy-odometry
-            # graph with CLEAN closures every closure disagrees with the
-            # drifted odometry-only bootstrap, and a fixed small delta
-            # would suppress them all (leaving the init odometry-only --
-            # the failure it exists to fix).  True outliers sit far above
-            # the bulk and still get killed.
-            rl = rn[loop]
-            if rl.size:
-                # Anchor on the best-quartile residual: robust to a
-                # MAJORITY of bogus loops (median-based scales are not --
-                # with >50% outliers the median IS an outlier residual),
-                # while still keeping clean-but-drift-disagreeing closures
-                # alive on noisy-odometry graphs where every loop residual
-                # is large.
-                delta = max(huber_delta, 3.0 * float(np.quantile(rl, 0.25)))
-            else:
-                delta = huber_delta
-            # Geman-McClure reweighting PLUS a hard gate.  The gate is
-            # load-bearing: on a floppy chain-dominated graph the
-            # Laplacian's soft long-wavelength modes amplify a long-range
-            # perturbation by ~N^2, so a bogus loop "downweighted" to
-            # 0.004 still bends a 10k-node solve by a radian (measured on
-            # M10000: rot error 0.99 rad at w=0.004 vs 0.016 at w=0).
-            # Outliers must be REMOVED, not merely downweighted.
-            gm = delta**2 / (delta**2 + rn**2)
-            w = np.where(loop, np.where(rn > 3.0 * delta, 0.0, gm), 1.0)
+        rn = residual_norm(x)
+        # Flagrant-at-bootstrap exclusion BEFORE the anneal.  The anneal's
+        # high-mu phase re-admits every edge; at high outlier ratios on
+        # small graphs that bends the field to fit the bogus edges and the
+        # residual ranking INVERTS (measured on a 64-node circle with 6/12
+        # bogus loops: final weights 0.95 on bogus, 0.0 on real).  The
+        # odometry bootstrap is honest -- edges sitting far above BOTH the
+        # absolute inlier scale and the loop population (so
+        # rotation-corrupted graphs, where every loop disagrees with the
+        # drifted bootstrap, exclude nothing and rely on the anneal) never
+        # get that chance.
+        rl = rn[loop]
+        # q25, not the median: at a 50% outlier ratio the median sits
+        # BETWEEN the inlier and outlier clusters and the threshold
+        # balloons past every bogus edge (measured on the circle fixture).
+        flag_thresh = max(3.0 * delta,
+                          6.0 * float(np.quantile(rl, 0.25))) \
+            if rl.size else np.inf
+        boot_w = np.where(loop & (rn > flag_thresh), 0.0, 1.0) * pcm_w
+        rl2 = rn[loop] ** 2 * (boot_w[loop] > 0)
+        # mu0 keys off the WORST surviving loop edge (the chordal residual
+        # norm is bounded by 2, so the schedule stays short): a quantile
+        # start misses a sub-percent outlier tail entirely -- measured on
+        # M3500+10, where q90 gave mu0 ~ 1 (no annealing at all) because
+        # 10 bogus edges sit in the top 0.5% of 1854 loops.
+        mu = max(1.0, 2.0 * float(rl2.max()) / delta**2) if rl2.size else 1.0
+        for _ in range(24):  # geometric anneal; mu0 ~ 1e3 -> ~15 rounds
+            w_gm = (mu * delta**2 / (rn**2 + mu * delta**2)) ** 2
+            w = np.where(loop, w_gm * boot_w, 1.0)
             x = solve_rot(w)
+            rn = residual_norm(x)
+            if mu <= 1.0:
+                break
+            mu = max(1.0, mu / 1.6)
+        # Final HARD gate (remove, don't downweight -- the Laplacian's
+        # soft long-wavelength modes amplify long-range perturbations by
+        # ~N^2; measured on M10000: rot error 0.99 rad with a bogus loop
+        # at w=0.004 vs 0.016 at w=0) + Geman-McClure on the survivors.
+        gm = delta**2 / (delta**2 + rn**2)
+        w = np.where(loop,
+                     np.where(rn > 3.0 * delta, 0.0, gm) * boot_w, 1.0)
+        x = solve_rot(w)
     else:
         x = solve_rot(w)
 
@@ -332,24 +373,50 @@ def chordal_init(
 
     p = solve_trans(w)
     if huber_irls_rounds > 0:
-        # The rotation gate cannot catch translation-only outliers: a
-        # bogus loop's 1-DOF rotation coincidentally matches a few percent
-        # of the time (measured on M10000+50: 3 of 50 survived, one at
-        # weight 0.66, bending the floppy translation solve by ~145 m).
-        # Gate again on the translation residual and re-solve.
-        rt = np.linalg.norm(p[b_idx] - p[a_idx] - d, axis=-1)
-        rl = rt[loop & (w > 0)]
-        if rl.size:
-            # Floor the threshold at the median odometry translation
-            # norm: a tight cluster of near-exact closures (duplicate
-            # edges, identity-revisit loops) would otherwise collapse
-            # q25 to ~0 and the gate would strip every normally-noisy
-            # closure from the translation solve.
-            odo_step = float(np.median(
-                np.linalg.norm(t_local[~loop], axis=-1))) if (~loop).any() \
-                else 1.0
-            delta_t = max(3.0 * float(np.quantile(rl, 0.25)),
-                          0.1 * odo_step, 1e-9)
+        # The rotation gate cannot catch translation-only outliers, and on
+        # grid-world graphs they are the MAJORITY of bogus loops: the
+        # reference's injector zeroes the measurement (integer-division
+        # quirk, g2o_util.h:158-169) and grid headings make dtheta ~ 0
+        # likely, so a bogus edge is often a perfect rotation-inlier whose
+        # lie is "these two far-apart nodes coincide".  A one-shot
+        # quantile gate measured the residuals at the ALREADY-POISONED
+        # translation solve and missed them (M3500+10: field bent ~1 rad
+        # before the gate fired).  Anneal the translation stage with the
+        # same GNC-GM schedule instead; the inlier scale is tied to the
+        # odometry step length.
+        odo_step = float(np.median(
+            np.linalg.norm(t_local[~loop], axis=-1))) if (~loop).any() \
+            else 1.0
+        delta_t = max(0.1 * odo_step, 1e-9)
+        w_rot = w  # rotation-stage verdicts (hard zeros) are kept
+
+        def trans_rn(p_):
+            return np.linalg.norm(p_[b_idx] - p_[a_idx] - d, axis=-1)
+
+        # Odometry-only translation bootstrap: honest residuals for the
+        # flagrant exclusion (residuals at a loop-included solve are
+        # already smeared by the outliers themselves -- the inversion
+        # failure, see the rotation stage).
+        rt_boot = trans_rn(solve_trans(np.where(loop, 0.0, 1.0)))
+        rl = rt_boot[loop & (w_rot > 0)]
+        flag_t = max(3.0 * delta_t,
+                     6.0 * float(np.quantile(rl, 0.25))) \
+            if rl.size else np.inf
+        boot_w_t = np.where(loop & (rt_boot > flag_t), 0.0, 1.0) * w_rot
+
+        rt = trans_rn(p)
+        live = loop & (boot_w_t > 0)
+        if live.any():
+            mu = max(1.0, min(2.0 * float((rt[live] ** 2).max())
+                              / delta_t**2, 1e9))
+            for _ in range(40):
+                w_gm = (mu * delta_t**2 / (rt**2 + mu * delta_t**2)) ** 2
+                w = np.where(loop, boot_w_t * w_gm, 1.0)
+                p = solve_trans(w)
+                rt = trans_rn(p)
+                if mu <= 1.0:
+                    break
+                mu = max(1.0, mu / 2.0)
             w = np.where(loop & (rt > 3.0 * delta_t), 0.0, w)
             p = solve_trans(w)
     poses[:, : t_local.shape[1]] = p + poses[0, : t_local.shape[1]][None, :]
@@ -358,16 +425,74 @@ def chordal_init(
     return dataclasses.replace(g, poses=poses)
 
 
+# PCM trust rule (see robust/pcm.py): the pairwise cycle test only has
+# discriminating power when the odometry drift rates are modest and a
+# solid consistent core survives.  On raw-odometry INTEL (s_trans ~ 0.43
+# m/sqrt(step)) and MIT (~3-7!) the self-tuned gates balloon and the mask
+# keeps everything; on rotation-corrupted M3500b/c (s_rot >= 0.013) the
+# cycle tests are noisy and the mask rejects GOOD closures (measured:
+# gating there worsened the init rotRMS 0.10 -> 0.25).  Fall back to the
+# un-gated paths in both regimes.
+PCM_TRUST_S_ROT = 0.012
+PCM_TRUST_S_TRANS = 0.25
+PCM_TRUST_KEEP_FRAC = 0.4
+
+
+def pcm_trusted(result) -> bool:
+    import numpy as _np
+    if result.loop_mask.size == 0:
+        return False
+    keep_frac = float(result.loop_mask.mean())
+    return (_np.sqrt(result.s_rot2_per_step) <= PCM_TRUST_S_ROT
+            and _np.sqrt(result.s_trans2_per_step) <= PCM_TRUST_S_TRANS
+            and keep_frac >= PCM_TRUST_KEEP_FRAC)
+
+
 def apply_init(graph: PoseGraph, cfg, logger=None) -> PoseGraph:
     """Apply the configured initial-guess strategy (RunConfig.init) --
     the single entry point every pipeline (global solve, methods 3/4,
-    checkpointed CLI driver) routes through."""
-    if getattr(cfg, "init", "dataset") != "chordal":
+    checkpointed CLI driver) routes through.
+
+    ``auto`` (the default): run the PCM pairwise-consistency test; when it
+    is trustworthy (see :func:`pcm_trusted`), initialize with the
+    PCM-gated chordal solve -- the combination that fixes the
+    M3500-with-outliers family -- otherwise keep the dataset vertex
+    estimates (the reference's behaviour, ``g2o_util.h:37-47``), which is
+    also what preserves reference-identical INTEL/CSAIL trajectories on
+    their raw-odometry inits.
+    """
+    mode = getattr(cfg, "init", "dataset")
+    if mode == "dataset":
         return graph
     import time
     t0 = time.perf_counter()
-    out = chordal_init(graph)
+    pcm = None
+    if graph.dim == 3:
+        from slam_tpu.robust.pcm import pcm_loop_mask
+        pcm = pcm_loop_mask(graph)
+        s_tr = float(np.sqrt(pcm.s_trans2_per_step))
+        if not pcm_trusted(pcm):
+            # Tier 2: translation drift is sane but the rotation field is
+            # too corrupted for cycle tests (M3500b/c regime) -- the
+            # un-gated chordal GNC is the proven cure there.  Tier 3:
+            # translation drift itself is huge (raw-odometry INTEL, MIT)
+            # -- neither PCM nor chordal GNC can separate inliers; under
+            # "auto" keep the reference's dataset init.
+            if mode == "auto" and s_tr > PCM_TRUST_S_TRANS:
+                if logger is not None:
+                    logger.log(
+                        "init", kind="dataset", pcm_trusted=False,
+                        s_trans_per_step=round(s_tr, 3),
+                    )
+                return graph
+            pcm = None  # rotation-corrupted tier / explicit chordal
+    out = chordal_init(graph, pcm_result=pcm)
     if logger is not None:
-        logger.log("init", kind="chordal",
-                   wall_s=round(time.perf_counter() - t0, 3))
+        logger.log(
+            "init", kind="chordal",
+            pcm_gated=pcm is not None,
+            pcm_rejected=int((~pcm.loop_mask).sum()) if pcm is not None
+            else 0,
+            wall_s=round(time.perf_counter() - t0, 3),
+        )
     return out

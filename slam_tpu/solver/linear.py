@@ -196,6 +196,68 @@ def pcg_solve(
     return x, iters
 
 
+def eliminate_switches(system: BlockSystem, edges: EdgeSet, lam: Array):
+    """Exactly eliminate the switch unknowns from the damped joint system.
+
+    ``Hss`` is DIAGONAL (each switch couples only to its own edge's
+    residual and prior, ``ceres_error.cpp:226-317``), so the Schur
+    complement onto poses is a closed-form per-edge correction that fits
+    the existing :class:`BlockSystem` sparsity exactly: the switch of edge
+    ``e=(a,b)`` corrects ``Hdiag[a]``, ``Hdiag[b]``, the edge's own
+    ``Hoff[e]`` block, and ``g[a]/g[b]`` -- O(E) work, no new structure.
+    This is what lets method 2 (joint SC) ride the partitioned Schur /
+    PCG pose solvers at M3500+ scale instead of capping at the dense path.
+
+    Returns ``(reduced_system, backsub)`` where ``backsub(xp) -> xs``
+    recovers the switch updates.  The elimination uses the DAMPED switch
+    diagonal (the joint system's own damping); the pose damping applied by
+    the downstream solver then acts on the *reduced* diagonal -- a
+    legitimate damped system with the same ``lam -> 0`` fixed points as
+    the joint one (LM damping is a trust-region heuristic, not part of the
+    objective), verified against the joint dense solve at small lam.
+    """
+    E = system.Hss.shape[0]
+    n = system.Hdiag.shape[0]
+    D = system.Hdiag.shape[-1]
+    Hss_d = system.Hss + lam * jnp.clip(system.Hss, _DIAG_MIN, _DIAG_MAX)
+    inv = 1.0 / Hss_d                                   # (E,)
+    gs_inv = system.gs * inv                            # (E,)
+
+    ca = -(system.Hps_a[:, :, None] * system.Hps_a[:, None, :]
+           ) * inv[:, None, None]                       # (E, D, D)
+    cb = -(system.Hps_b[:, :, None] * system.Hps_b[:, None, :]
+           ) * inv[:, None, None]
+    Hdiag = (
+        system.Hdiag
+        + edges.scatter_a(ca.reshape(E, D * D), n).reshape(n, D, D)
+        + edges.scatter_b(cb.reshape(E, D * D), n).reshape(n, D, D)
+    )
+    Hoff = system.Hoff - (
+        system.Hps_a[:, :, None] * system.Hps_b[:, None, :]
+    ) * inv[:, None, None]
+    g = (
+        system.g
+        - edges.scatter_a(system.Hps_a * gs_inv[:, None], n)
+        - edges.scatter_b(system.Hps_b * gs_inv[:, None], n)
+    )
+    reduced = system._replace(
+        Hdiag=Hdiag, Hoff=Hoff, g=g,
+        Hps_a=jnp.zeros_like(system.Hps_a),
+        Hps_b=jnp.zeros_like(system.Hps_b),
+        Hss=jnp.ones_like(system.Hss),
+        gs=jnp.zeros_like(system.gs),
+    )
+
+    def backsub(xp: Array) -> Array:
+        xa = edges.gather_a(xp)
+        xb = edges.gather_b(xp)
+        return -(system.gs
+                 + jnp.einsum("ei,ei->e", system.Hps_a, xa)
+                 + jnp.einsum("ei,ei->e", system.Hps_b, xb)) * inv
+
+    return reduced, backsub
+
+
 def dense_solve(
     system: BlockSystem,
     edges: EdgeSet,

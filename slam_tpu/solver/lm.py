@@ -111,7 +111,28 @@ def _solve_linear(system, edges, lam, cfg: SolverConfig, partition=None):
         from slam_tpu.solver import schur
         if partition is None:
             raise ValueError("linear_solver='schur' requires a partition")
-        return schur.schur_solve(system, edges, partition, lam), jnp.int32(0)
+        if cfg.robust == "sc":
+            # Joint SC at scale: the diagonal switch block is eliminated
+            # exactly (O(E) corrections, linear.eliminate_switches) and the
+            # pose system rides the partitioned Schur solver; switches come
+            # back by substitution.
+            reduced, backsub = linear.eliminate_switches(system, edges, lam)
+            dxp = schur.schur_solve(
+                reduced, edges, partition, lam,
+                blocked=getattr(cfg, "schur_blocked", False),
+            )
+            return (
+                linear.Update(poses=dxp.poses,
+                              switches=backsub(dxp.poses)),
+                jnp.int32(0),
+            )
+        return (
+            schur.schur_solve(
+                system, edges, partition, lam,
+                blocked=getattr(cfg, "schur_blocked", False),
+            ),
+            jnp.int32(0),
+        )
     elif cfg.linear_solver == "woodbury":
         from slam_tpu.solver import woodbury
         if partition is None:
@@ -119,9 +140,14 @@ def _solve_linear(system, edges, lam, cfg: SolverConfig, partition=None):
                 "linear_solver='woodbury' requires WoodburyOps (pass as "
                 "partition)")
         if cfg.robust == "sc":
-            raise ValueError(
-                "woodbury does not carry switch unknowns; use dense/pcg "
-                "for joint SC (or robust='sc_varpro')")
+            # Same switch pre-elimination as the schur path.
+            reduced, backsub = linear.eliminate_switches(system, edges, lam)
+            dxp = woodbury.woodbury_solve(reduced, edges, partition, lam)
+            return (
+                linear.Update(poses=dxp.poses,
+                              switches=backsub(dxp.poses)),
+                jnp.int32(0),
+            )
         return (
             woodbury.woodbury_solve(system, edges, partition, lam),
             jnp.int32(0),

@@ -63,3 +63,62 @@ def test_csail_dcs_outliers_matches_golden():
     ate = metrics.ate(np.asarray(res.poses), golden)
     assert ate < 0.10, ate
     assert float(res.cost) < 1.5 * meta[key]["final_cost"]
+
+
+@needs_golden
+def test_m3500_dcs_outliers_matches_golden():
+    """The round-2 headline gate (BASELINE configs[2] / VERDICT r1 #1):
+    M3500 + DCS + 50 injected outliers must converge to the committed
+    golden (the chordal-basin optimum; r1's anchor at cost 1.33 was a bad
+    local minimum).  Runs the PRODUCT pipeline -- auto init (PCM-gated
+    chordal) + the f64 solve -- with a reduced iteration budget."""
+    from slam_tpu.config import RunConfig, SolverConfig
+    from slam_tpu.io import g2o as g2o_io
+    from slam_tpu.methods.global_solve import run_global_solve
+    from slam_tpu.utils.logging import RunLogger
+
+    meta = json.load(open(os.path.join(GOLDEN, "meta.json")))
+    key = "M3500_50out_seed0"
+    golden = np.load(os.path.join(GOLDEN, f"{key}.npy"))
+    graph = g2o_io.load_g2o(g2o_io.find_dataset("M3500"))
+    dirty = graph.add_random_outliers(50, seed=0)
+    out = run_global_solve(
+        dirty,
+        RunConfig(dataset="M3500", method=1, num_outliers=50,
+                  solver=SolverConfig(dtype="float64", max_iterations=15)),
+        RunLogger(echo=False))
+    ate = metrics.ate(out.poses, golden)
+    assert ate < 0.5, ate
+    assert float(out.result.cost) < 1.5 * meta[key]["final_cost"]
+
+
+@needs_golden
+def test_m3500_auto_init_lands_near_golden_all_counts():
+    """Cheap full-grid gate: the auto init alone (PCM-gated chordal, host
+    side) lands within a few meters of the golden fixed point at EVERY
+    BASELINE outlier count -- the property that makes the nonlinear solve
+    converge (TPU-measured final ATE <= 0.03 at 0/10/50/100)."""
+    from slam_tpu.config import RunConfig
+    from slam_tpu.io import g2o as g2o_io
+    from slam_tpu.solver.init import apply_init
+
+    golden = np.load(os.path.join(GOLDEN, "M3500_0out_seed0.npy"))
+    graph = g2o_io.load_g2o(g2o_io.find_dataset("M3500"))
+    for n in (0, 10, 50, 100):
+        dirty = graph.add_random_outliers(n, seed=0)
+        ini = apply_init(dirty, RunConfig(init="auto"))
+        ate = metrics.ate(np.asarray(ini.poses), golden)
+        assert ate < 6.0, (n, ate)
+
+
+@needs_golden
+def test_replay_graphs_committed_for_every_outlier_golden():
+    """VERDICT r1 #4: no golden with outliers without its committed replay
+    graph (the exact dirty g2o for external Ceres replay)."""
+    meta = json.load(open(os.path.join(GOLDEN, "meta.json")))
+    replay = os.path.join(GOLDEN, "..", "replay")
+    for key in meta:
+        if "_0out_" in key:
+            continue
+        assert os.path.isfile(os.path.join(replay, f"{key}.g2o")), key
+    assert os.path.isfile(os.path.join(replay, "README.md"))

@@ -337,3 +337,153 @@ def test_dcs_auto_retry_not_triggered_on_healthy_solve(circle, tmp_path):
         logger)
     logger.close()
     assert "[retry]" not in logpath.read_text()
+
+
+def test_pcm_separates_bogus_on_m3500():
+    """Pairwise consistency maximization: on low-drift graphs the bogus
+    injected loops (the 'far nodes coincide' adversary, g2o_util.h:151-171)
+    are rejected while nearly all real closures survive -- including the
+    rotation-INLIER bogus edges that no per-edge residual test can see."""
+    import numpy as np
+
+    from slam_tpu.io import g2o
+    from slam_tpu.robust.pcm import pcm_loop_mask
+    from slam_tpu.solver.init import pcm_trusted
+
+    g = g2o.load_g2o(g2o.find_dataset("M3500")).add_random_outliers(
+        50, seed=0)
+    r = pcm_loop_mask(g)
+    assert pcm_trusted(r)
+    et = np.asarray(g.edge_type)[r.loop_edges]
+    real_kept = (r.loop_mask & (et == 1)).sum() / (et == 1).sum()
+    bogus_kept = (r.loop_mask & (et == 2)).sum()
+    assert real_kept > 0.85, real_kept
+    assert bogus_kept <= 5, bogus_kept
+
+
+def test_pcm_untrusted_on_high_drift_graph():
+    """On raw-odometry INTEL the self-tuned drift gates balloon and the
+    mask keeps everything -- the trust rule must flag it so auto-init
+    falls back to the reference's dataset estimates."""
+    from slam_tpu.io import g2o
+    from slam_tpu.robust.pcm import pcm_loop_mask
+    from slam_tpu.solver.init import pcm_trusted
+
+    g = g2o.load_g2o(g2o.find_dataset("INTEL")).add_random_outliers(
+        50, seed=0)
+    assert not pcm_trusted(pcm_loop_mask(g))
+
+
+def test_auto_init_fixes_m3500_with_outliers():
+    """The round-1 headline gap (VERDICT #1): M3500 + DCS stuck at ATE
+    ~10 m.  Under init='auto' (PCM-gated chordal) the f64 init lands
+    within a few meters of the optimum at every BASELINE outlier count --
+    the nonlinear solve then converges (ATE <= 0.03, measured on TPU)."""
+    import numpy as np
+
+    from slam_tpu.config import RunConfig
+    from slam_tpu.eval import metrics
+    from slam_tpu.io import g2o
+    from slam_tpu.solver.init import apply_init, chordal_init
+
+    g = g2o.load_g2o(g2o.find_dataset("M3500"))
+    anchor = np.asarray(chordal_init(g).poses)  # near the true optimum
+    for n in (10, 100):
+        d = g.add_random_outliers(n, seed=0)
+        out = apply_init(d, RunConfig(init="auto"))
+        assert metrics.ate(np.asarray(out.poses), anchor) < 6.0
+        assert metrics.ate_rot(np.asarray(out.poses), anchor) < 0.2
+
+
+def test_switch_elimination_exact_algebra(circle_outliers):
+    """eliminate_switches must be the exact Schur complement of the damped
+    joint system onto poses: the joint solve's pose block satisfies the
+    reduced system and its switch block equals backsub(poses)."""
+    import jax.numpy as jnp
+
+    from slam_tpu.solver import linear
+    from slam_tpu.solver.linearize import linearize
+    from slam_tpu.solver.models import SE2Model
+    from slam_tpu.solver.problem import anchor_first_node, edge_set_from_graph
+
+    dirty, _ = circle_outliers
+    g = dirty.canonical_order()
+    edges = edge_set_from_graph(g, dtype=jnp.float64, incidence=False)
+    free = anchor_first_node(g.num_nodes, dtype=jnp.float64)
+    poses = jnp.asarray(g.poses)
+    sw = jnp.full((edges.num_edges,), 0.9, jnp.float64)
+    system = linearize(poses, sw, edges, free, model=SE2Model, robust="sc",
+                       dcs_phi=0.5, huber_delta=0.01, sc_prior_lambda=1.0)
+    lam = jnp.asarray(3e-3, jnp.float64)
+
+    # Assemble the damped JOINT matrix by probing matvec with unit vectors.
+    n, D = g.num_nodes, 3
+    E = edges.num_edges
+    Hd, Hss_d = linear._damped_diag(system, lam)
+    dim = n * D + E
+
+    def mv(z):
+        xp = z[: n * D].reshape(n, D)
+        xs = z[n * D:]
+        out = linear.matvec(system, edges, Hd, Hss_d,
+                            linear.Update(poses=xp, switches=xs))
+        return np.concatenate([np.asarray(out.poses).ravel(),
+                               np.asarray(out.switches)])
+
+    M = np.stack([mv(np.eye(dim)[i]) for i in range(dim)], axis=1)
+    rhs = -np.concatenate([np.asarray(system.g).ravel(),
+                           np.asarray(system.gs)])
+    z = np.linalg.solve(M, rhs)
+    xp_joint = z[: n * D].reshape(n, D)
+    xs_joint = z[n * D:]
+
+    reduced, backsub = linear.eliminate_switches(system, edges, lam)
+    # 1. backsub recovers the joint switch block exactly.
+    np.testing.assert_allclose(
+        np.asarray(backsub(jnp.asarray(xp_joint))), xs_joint, atol=1e-9)
+    # 2. the joint pose block satisfies the reduced system
+    #    (reduced_H + lam D_red applied via matvec == -g_reduced)...
+    #    using the SAME damped pose diagonal as the joint system, the
+    #    reduced operator is H_red = H_joint_pose-part - Hps Hss^-1 Hps^T.
+    Hd_red = Hd + (reduced.Hdiag - system.Hdiag)
+    out = linear.matvec(reduced, edges, Hd_red, jnp.ones((E,)),
+                        linear.Update(poses=jnp.asarray(xp_joint),
+                                      switches=jnp.zeros((E,))))
+    np.testing.assert_allclose(
+        np.asarray(out.poses), -np.asarray(reduced.g), atol=1e-8)
+
+
+def test_joint_sc_on_schur_solver_matches_dense(circle_outliers):
+    """Method 2 with the partitioned Schur solver (switch pre-elimination)
+    reaches the dense joint path's fixed point: same final cost, same
+    switch classification of the injected bogus loops."""
+    import jax.numpy as jnp
+
+    from slam_tpu.config import SolverConfig
+    from slam_tpu.solver.lm import lm_solve
+    from slam_tpu.solver.problem import anchor_first_node, edge_set_from_graph
+    from slam_tpu.solver.schur import build_partition
+
+    dirty, _ = circle_outliers
+    g = dirty.canonical_order()
+    edges = edge_set_from_graph(g, dtype=jnp.float64, incidence=False)
+    free = anchor_first_node(g.num_nodes, dtype=jnp.float64)
+    poses0 = jnp.asarray(g.poses)
+    sw0 = jnp.ones((edges.num_edges,), jnp.float64)
+
+    dense = lm_solve(poses0, sw0, edges, free,
+                     SolverConfig(robust="sc", linear_solver="dense",
+                                  dtype="float64"))
+    part = build_partition(np.asarray(edges.ij), g.num_nodes, 4,
+                           dtype=jnp.float64)
+    schur = lm_solve(poses0, sw0, edges, free,
+                     SolverConfig(robust="sc", linear_solver="schur",
+                                  dtype="float64"),
+                     partition=part)
+    assert abs(float(schur.cost) - float(dense.cost)) < 5e-3 * max(
+        1.0, float(dense.cost))
+    loop = np.asarray(g.edge_type) != 0
+    sd = np.asarray(dense.switches)[: loop.shape[0]][loop]
+    ss = np.asarray(schur.switches)[: loop.shape[0]][loop]
+    # Same on/off classification of every loop edge.
+    np.testing.assert_array_equal(sd > 0.5, ss > 0.5)

@@ -98,13 +98,27 @@ def test_lm_woodbury_matches_dense_trajectory(problem):
     )
 
 
-def test_woodbury_rejects_joint_sc(problem):
+def test_woodbury_joint_sc_matches_dense(problem):
+    """Round 2: joint SC rides woodbury too (switch pre-elimination,
+    linear.eliminate_switches) -- same fixed point as the dense joint
+    path, same on/off switch classification."""
     graph, edges, free, poses0, sw0 = problem
     ops = build_woodbury_ops(graph.edges_ij, graph.num_nodes,
                              dtype=jnp.float64)
-    cfg = SolverConfig(robust="sc", linear_solver="woodbury", dtype="float64")
-    with pytest.raises(ValueError, match="switch"):
-        lm_solve(poses0, sw0, edges, free, cfg, partition=ops)
+    cfg = SolverConfig(robust="sc", linear_solver="woodbury",
+                       dtype="float64")
+    wres = lm_solve(poses0, sw0, edges, free, cfg, partition=ops)
+    dres = lm_solve(poses0, sw0, edges, free,
+                    cfg.replace(linear_solver="dense"))
+    # Trajectories differ slightly (the reduced system's pose damping
+    # diagonal is the post-elimination one); the fixed point class is the
+    # gate, not the iterate path.
+    assert abs(float(wres.cost) - float(dres.cost)) < 2e-2 * max(
+        1.0, float(dres.cost))
+    loop = np.asarray(graph.canonical_order().edge_type) != 0
+    sw_w = np.asarray(wres.switches)[: loop.shape[0]][loop]
+    sw_d = np.asarray(dres.switches)[: loop.shape[0]][loop]
+    np.testing.assert_array_equal(sw_w > 0.5, sw_d > 0.5)
 
 
 def test_woodbury_no_lowrank_edges():
