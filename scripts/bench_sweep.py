@@ -40,7 +40,7 @@ def run(batch: int, blocks: int) -> dict:
         partition_stats(g.edges_ij, g.num_nodes, blocks)
         for g in dirties
     ]
-    pad = tuple(max(s[i] for s in stats) for i in range(4))
+    pad = tuple(max(s[i] for s in stats) for i in range(len(stats[0])))
     parts = [
         build_partition(g.edges_ij, g.num_nodes, blocks,
                         dtype=jnp.float32, pad_shapes=pad)

@@ -47,7 +47,7 @@ def main():
             for g in dirties]
     stats = [partition_stats(g.edges_ij, g.num_nodes, NUM_BLOCKS)
              for g in dirties]
-    pad = tuple(max(s[i] for s in stats) for i in range(4))
+    pad = tuple(max(s[i] for s in stats) for i in range(len(stats[0])))
     parts = [build_partition(g.edges_ij, g.num_nodes, NUM_BLOCKS,
                              dtype=jnp.float32, pad_shapes=pad)
              for g in dirties]

@@ -49,7 +49,7 @@ def main():
             for g in dirties]
     stats = [partition_stats(g.edges_ij, g.num_nodes, NUM_BLOCKS)
              for g in dirties]
-    pad = tuple(max(s[i] for s in stats) for i in range(4))
+    pad = tuple(max(s[i] for s in stats) for i in range(len(stats[0])))
     parts = [build_partition(g.edges_ij, g.num_nodes, NUM_BLOCKS,
                              dtype=jnp.float32, pad_shapes=pad)
              for g in dirties]
@@ -66,6 +66,7 @@ def main():
         dtype = system.Ja.dtype
         P_blk = part.num_blocks
         ni, ns, ek = part.ni_max, part.ns, part.ek_max
+        nsk = part.nsk_max
         wsqrt = jnp.sqrt(system.w)
         dnode = jnp.diagonal(system.Hdiag, axis1=-2, axis2=-1)
         clipd = jnp.clip(dnode, _DIAG_MIN, _DIAG_MAX)
@@ -99,7 +100,7 @@ def main():
             return Update(poses=jnp.zeros_like(system.g) + probe * 0.0,
                           switches=jnp.zeros((E,), dtype))
 
-        def block_sys(esel, isel, imask, ia_k, ib_k, sa_k, sb_k):
+        def block_sys(esel, isel, imask, ia_k, ib_k, sa_k, sb_k, lsel):
             Ja_k = _mm(esel, system.Ja.reshape(E, R * D)).reshape(ek, R, D)
             Jb_k = _mm(esel, system.Jb.reshape(E, R * D)).reshape(ek, R, D)
             w_k = _mm(esel, wsqrt[:, None])[:, 0]
@@ -109,12 +110,13 @@ def main():
                     ).reshape(ek * R, D * ni)
             Jsep_k = (Ja_k[:, :, :, None] * sa_k[:, None, None, :]
                       + Jb_k[:, :, :, None] * sb_k[:, None, None, :]
-                      ).reshape(ek * R, D * ns)
+                      ).reshape(ek * R, D * nsk)
             wk = jnp.repeat(w_k, R)[:, None]
             s_int = _mm(isel, scale).T.reshape(-1)
+            s_loc = _mm(s_sep.reshape(D, ns), lsel.T).reshape(-1)
             Aint = Jint * wk * s_int[None, :]
             A = _mm(Aint.T, Aint)
-            F = _mm(Aint.T, Jsep_k * wk * s_sep[None, :])
+            F = _mm(Aint.T, Jsep_k * wk * s_loc[None, :])
             b = -_mm(Aint.T, (r_k * w_k[:, None]).reshape(ek * R))
             damp_int = _mm(isel, dampv).T.reshape(-1)
             pin_int = jnp.maximum(_mm(isel, pin).T.reshape(-1),
@@ -124,7 +126,7 @@ def main():
 
         A_b, F_b, b_b, s_int_b = jax.vmap(block_sys)(
             part.edge_sel, part.int_sel, part.int_mask,
-            part.int_a, part.int_b, part.sep_a, part.sep_b,
+            part.int_a, part.int_b, part.sep_a, part.sep_b, part.loc_sel,
         )
         if stage == "assemble":
             probe = jnp.sum(A_b) + jnp.sum(F_b) + jnp.sum(b_b) + jnp.sum(C)
@@ -165,11 +167,23 @@ def main():
             return Update(poses=jnp.zeros_like(system.g) + probe * 0.0,
                           switches=jnp.zeros((E,), dtype))
 
-        S = C - jnp.einsum("pij,pik->jk", G_F, G_F, precision=_PREC)
-        rhs_s = b_sep - jnp.einsum("pij,pi->j", G_F, g_b, precision=_PREC)
+        S_loc = jnp.einsum("pij,pik->pjk", G_F, G_F, precision=_PREC)
+        S4 = S_loc.reshape(-1, D, nsk, D, nsk)
+        T1 = jnp.einsum("pambn,pnv->pambv", S4, part.loc_sel,
+                        precision=_PREC)
+        S = C - jnp.einsum("pambv,pmu->aubv", T1, part.loc_sel,
+                           precision=_PREC).reshape(D * ns, D * ns)
+        gl = jnp.einsum("pij,pi->pj", G_F, g_b, precision=_PREC)
+        rhs_s = b_sep - jnp.einsum(
+            "pam,pmu->au", gl.reshape(-1, D, nsk), part.loc_sel,
+            precision=_PREC).reshape(-1)
         Ls = jax.scipy.linalg.cho_factor(S, lower=True)
         x_sep = jax.scipy.linalg.cho_solve(Ls, rhs_s)
-        half = g_b - jnp.einsum("pij,j->pi", G_F, x_sep, precision=_PREC)
+        x_sep_loc = jnp.einsum("pmu,au->pam", part.loc_sel,
+                               x_sep.reshape(D, ns),
+                               precision=_PREC).reshape(-1, D * nsk)
+        half = g_b - jnp.einsum("pij,pj->pi", G_F, x_sep_loc,
+                                precision=_PREC)
         x_int = jnp.einsum("pji,pj->pi", Linv, half, precision=_PREC)
         x_int = x_int * s_int_b
         x_sep = x_sep * s_sep

@@ -184,11 +184,15 @@ def setup_eval_solver(graph, cfg, solver):
     ``(eval_cfg, edges, partition, scan_chunk)``.
 
     Selection rules (all measured, results/README.md):
-    * TPU "auto": exact partitioned Schur up to ~2k nodes (method 3 runs
-      3.2x faster end-to-end than the PCG eval at identical decisions);
-      loose PCG above -- a schur-eval scan chunk would exceed the axon
-      worker's ~1-minute single-execution kill (an M3500 run died with
-      'TPU worker process crashed').
+    * TPU "auto": exact partitioned Schur (method 3 runs 3.2x faster
+      end-to-end than the PCG eval at identical decisions on INTEL).
+      With a STATIC scan chunk above ~2k
+      nodes, fall back to loose PCG: a fixed schur-eval chunk exceeded
+      the axon worker's ~1-minute single-execution kill there (an M3500
+      run died with 'TPU worker process crashed').  Under adaptive
+      chunking (scan_chunk=None, the default) the chunk runner probes
+      and sizes chunks to the deadline, so the exact eval is safe at
+      every graph size.
     * CPU "auto": dense up to ~2k nodes, PCG above.
     * scan_chunk None (the default): adaptive on accelerators -- the chunk
       runner probes, measures, and sizes chunks to the worker deadline
@@ -203,7 +207,9 @@ def setup_eval_solver(graph, cfg, solver):
     linear = solver.linear_solver
     if linear in ("auto", "schur"):
         if jax.default_backend() != "cpu":
-            linear = "schur" if graph.num_nodes <= 2048 else "pcg"
+            adaptive = cfg.scan_chunk is None
+            linear = ("schur" if graph.num_nodes <= 2048 or adaptive
+                      else "pcg")
         else:
             linear = "dense" if graph.num_nodes <= 2048 else "pcg"
     if cfg.eval_linear in ("schur", "pcg", "dense"):

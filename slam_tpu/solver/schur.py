@@ -67,10 +67,19 @@ class SchurPartition(NamedTuple):
       matmul and of the (E*R, D*ns) Jsep intermediate)
     * ``int_a``/``int_b``: (P, ek_max, ni_max) -- block-k edge endpoint ->
       interior-slot one-hots (zero row when that endpoint is a separator)
-    * ``sep_a``/``sep_b``: (P, ek_max, ns) -- block-k edge endpoint ->
-      separator-slot one-hots
+    * ``sep_a``/``sep_b``: (P, ek_max, nsk_max) -- block-k edge endpoint ->
+      LOCAL separator-slot one-hots.  Local = only the separators adjacent
+      to block k's edges (nsk_max = max over blocks, padded).  Each block's
+      coupling matrix F therefore has D*nsk columns instead of D*ns: the
+      interior triangular solves and the G^T G Schur reduction -- the two
+      dominant stages at M10000 scale -- shrink by ns/nsk (~4-14x there).
+    * ``loc_sel``: (P, nsk_max, ns) -- local separator slot -> global
+      separator slot one-hots (zero rows for padding); used to expand each
+      block's local S/rhs contributions into the global separator system
+      and to gather x_sep back per block, all as MXU matmuls
     * ``se_sep_a``/``se_sep_b``: (es_max, ns) -- sep-edge endpoint ->
-      separator-slot one-hots
+      separator-slot one-hots (the C assembly stays global: every edge
+      with >=1 separator endpoint contributes to C exactly once)
 
     The six endpoint->slot maps are what ``schur_solve`` previously derived
     on device every call as ``edge_sel @ inc @ sel.T`` chains -- products of
@@ -89,6 +98,7 @@ class SchurPartition(NamedTuple):
     int_b: Array
     sep_a: Array
     sep_b: Array
+    loc_sel: Array
     se_sep_a: Array
     se_sep_b: Array
 
@@ -111,6 +121,10 @@ class SchurPartition(NamedTuple):
     @property
     def es_max(self) -> int:
         return self.sepedge_sel.shape[0]
+
+    @property
+    def nsk_max(self) -> int:
+        return self.loc_sel.shape[1]
 
 
 def optimize_cut_positions(
@@ -217,17 +231,40 @@ def _assign_blocks(
     return sep_ids, interior_ids, block_edges, sep_edges
 
 
+def _local_sep_ids(
+    ij: np.ndarray,
+    n: int,
+    sep_ids: list,
+    block_edges: list,
+) -> list:
+    """Per-block sorted lists of GLOBAL separator slots adjacent to the
+    block's owned edges (the only separator columns its F can touch)."""
+    sep_slot = np.full(n, -1, np.int64)
+    sep_slot[np.asarray(sep_ids, np.int64)] = np.arange(len(sep_ids))
+    out = []
+    for ids in block_edges:
+        if len(ids):
+            eps = ij[np.asarray(ids, np.int64)].reshape(-1)
+            slots = sep_slot[eps]
+            out.append(sorted(set(int(s) for s in slots if s >= 0)))
+        else:
+            out.append([])
+    return out
+
+
 def partition_stats(
     ij: np.ndarray, n: int, num_blocks: int, optimize_cuts: bool = False
-) -> tuple[int, int, int, int]:
-    """``(ni_max, ns, ek_max, es_max)`` of :func:`build_partition` without
-    materialising the (potentially hundreds-of-MB) selection operators."""
+) -> tuple[int, int, int, int, int]:
+    """``(ni_max, ns, ek_max, es_max, nsk_max)`` of :func:`build_partition`
+    without materialising the (potentially hundreds-of-MB) operators."""
     sep_ids, interior_ids, block_edges, sep_edges = _assign_blocks(
         ij, n, num_blocks, optimize_cuts
     )
     ni_max = max(1, max(len(x) for x in interior_ids))
     ek_max = max(1, max(len(x) for x in block_edges))
-    return ni_max, len(sep_ids), ek_max, max(1, len(sep_edges))
+    loc = _local_sep_ids(np.asarray(ij), n, sep_ids, block_edges)
+    nsk_max = max(1, max(len(x) for x in loc))
+    return ni_max, len(sep_ids), ek_max, max(1, len(sep_edges)), nsk_max
 
 
 def choose_num_blocks(
@@ -254,26 +291,24 @@ def choose_num_blocks(
     for P in candidates:
         if P < 2 or n // P < 8:
             continue
-        ni, ns, ek, es = partition_stats(ij, n, P)
+        ni, ns, ek, es, nsk = partition_stats(ij, n, P)
         dni, dns, ekR = D * ni, D * ns, ek * R
-        # The last term keeps the FULL edge count even though the C
-        # assembly now runs over sep-touching edges only: it doubles as an
-        # effective penalty for the separator-size growth costs the flop
-        # count misses (operator bandwidth, vmap overhead, f32 quality --
-        # sphere P=6 converges measurably worse than P=4).  With it the
-        # model reproduces every measured winner before AND after the
-        # compression (INTEL 16 / M3500 ~8 / M10000 8 / sphere 4; the
-        # post-compression A/Bs kept the same winners: 515 vs 395 it/s on
-        # INTEL 16-vs-24, 5.5 vs 5.2 on M10000 8-vs-12, and P=4 beats P=6
-        # on sphere cost).
+        dnsk = D * nsk
+        # Terms re-fitted after the local-separator F compaction (r2): the
+        # C assembly runs over sep-touching edges (es rows), so its real
+        # es*R*dns^2 cost replaces the old full-E penalty term.  The model
+        # reproduces the post-compaction measured winners (INTEL 16 at
+        # 622 it/s vs 552/497 at 12/24; M10000 24 at 14.9 it/s vs
+        # 12.5/12.7/11.6 at 8/16/32 -- results/ROUND2.md).
         f = (
-            P * dni**3 / 3            # interior Cholesky
-            + 2 * P * dni * dni * dns  # Y triangular solves
-            + P * dni * dni * ekR      # A assembly
-            + P * dni * dns * ekR      # F assembly
-            + P * dns * dns * dni      # F^T Y reduction
-            + dns**3 / 3               # separator Cholesky
-            + E * R * dns * dns        # C assembly + separator-growth penalty
+            P * dni**3 / 3             # interior Cholesky
+            + 2 * P * dni * dni * dnsk  # Y triangular solves (local F width)
+            + P * dni * dni * ekR       # A assembly
+            + P * dni * dnsk * ekR      # F assembly (local width)
+            + P * dnsk * dnsk * dni     # G^T G reduction (local)
+            + P * dnsk * dns * (dnsk + dns)  # local->global S expansion
+            + dns**3 / 3                # separator Cholesky
+            + es * R * dns * dns        # C assembly (sep-touching rows)
         )
         if best_f is None or f < best_f:
             best_p, best_f = P, f
@@ -307,15 +342,18 @@ def build_partition(
     ni_max = max(1, max(len(x) for x in interior_ids))
     ek_max = max(1, max(len(x) for x in block_edges))
     es_max = max(1, len(sep_edges))
+    loc_ids = _local_sep_ids(ij, n, sep_ids, block_edges)
+    nsk_max = max(1, max(len(x) for x in loc_ids))
 
     if pad_shapes is not None:
         tni, tns, tek = pad_shapes[:3]
         tes = pad_shapes[3] if len(pad_shapes) > 3 else es_max
+        tnsk = pad_shapes[4] if len(pad_shapes) > 4 else nsk_max
         assert (tni >= ni_max and tns >= ns and tek >= ek_max
-                and tes >= es_max), (
+                and tes >= es_max and tnsk >= nsk_max), (
             "pad_shapes smaller than this partition's natural sizes"
         )
-        ni_max, ek_max, es_max = tni, tek, tes
+        ni_max, ek_max, es_max, nsk_max = tni, tek, tes, tnsk
         ns_pad = tns
     else:
         ns_pad = ns
@@ -346,16 +384,24 @@ def build_partition(
         int_slot[ids] = np.arange(len(ids))
         node_block_of[ids] = k
 
+    # Local separator coordinates per block (see SchurPartition docstring):
+    # F columns index only the separators adjacent to the block's edges.
+    loc_slot = np.full((num_blocks_, ns), -1, np.int64)
+    loc_sel = np.zeros((num_blocks_, nsk_max, ns_pad), np.float32)
+    for k, gids in enumerate(loc_ids):
+        loc_slot[k, gids] = np.arange(len(gids))
+        loc_sel[k, np.arange(len(gids)), gids] = 1.0
+
     int_a = np.zeros((num_blocks_, ek_max, ni_max), np.float32)
     int_b = np.zeros((num_blocks_, ek_max, ni_max), np.float32)
-    sep_a = np.zeros((num_blocks_, ek_max, ns_pad), np.float32)
-    sep_b = np.zeros((num_blocks_, ek_max, ns_pad), np.float32)
+    sep_a = np.zeros((num_blocks_, ek_max, nsk_max), np.float32)
+    sep_b = np.zeros((num_blocks_, ek_max, nsk_max), np.float32)
     for k, ids in enumerate(block_edges):
         for r, e in enumerate(ids):
             for ep, imap, smap in ((ij[e, 0], int_a, sep_a),
                                    (ij[e, 1], int_b, sep_b)):
                 if sep_slot[ep] >= 0:
-                    smap[k, r, sep_slot[ep]] = 1.0
+                    smap[k, r, loc_slot[k, sep_slot[ep]]] = 1.0
                 elif node_block_of[ep] == k:
                     imap[k, r, int_slot[ep]] = 1.0
 
@@ -377,6 +423,7 @@ def build_partition(
         int_b=jnp.asarray(int_b, dtype),
         sep_a=jnp.asarray(sep_a, dtype),
         sep_b=jnp.asarray(sep_b, dtype),
+        loc_sel=jnp.asarray(loc_sel, dtype),
         se_sep_a=jnp.asarray(se_sep_a, dtype),
         se_sep_b=jnp.asarray(se_sep_b, dtype),
     )
@@ -421,6 +468,7 @@ def schur_solve(
     dtype = system.Ja.dtype
     P_blk = part.num_blocks
     ni, ns, ek = part.ni_max, part.ns, part.ek_max
+    nsk = part.nsk_max
 
     wsqrt = jnp.sqrt(system.w)
     # Damping values per node coordinate: lam * clip(diag(H)).
@@ -477,7 +525,7 @@ def schur_solve(
     b_sep = -_mm(Asep.T, rflat)  # (D*ns,)
 
     # ---- per-block interior systems ------------------------------------
-    def block_sys(esel, isel, imask, ia_k, ib_k, sa_k, sb_k):
+    def block_sys(esel, isel, imask, ia_k, ib_k, sa_k, sb_k, lsel):
         # Gather this block's edge rows.
         Ja_k = _mm(esel, system.Ja.reshape(E, R * D)).reshape(ek, R, D)
         Jb_k = _mm(esel, system.Jb.reshape(E, R * D)).reshape(ek, R, D)
@@ -488,15 +536,18 @@ def schur_solve(
             Ja_k[:, :, :, None] * ia_k[:, None, None, :]
             + Jb_k[:, :, :, None] * ib_k[:, None, None, :]
         ).reshape(ek * R, D * ni)
+        # sa_k/sb_k are LOCAL separator one-hots: the block's coupling F
+        # carries only its adjacent separators' columns (D*nsk << D*ns).
         Jsep_k = (
             Ja_k[:, :, :, None] * sa_k[:, None, None, :]
             + Jb_k[:, :, :, None] * sb_k[:, None, None, :]
-        ).reshape(ek * R, D * ns)
+        ).reshape(ek * R, D * nsk)
         wk = jnp.repeat(w_k, R)[:, None]
         s_int = _mm(isel, scale).T.reshape(-1)          # (D*ni,)
+        s_loc = _mm(s_sep.reshape(D, ns), lsel.T).reshape(-1)  # (D*nsk,)
         Aint = Jint * wk * s_int[None, :]
         A = _mm(Aint.T, Aint)              # (D*ni, D*ni)
-        F = _mm(Aint.T, Jsep_k * wk * s_sep[None, :])   # (D*ni, D*ns)
+        F = _mm(Aint.T, Jsep_k * wk * s_loc[None, :])   # (D*ni, D*nsk)
         b = -_mm(Aint.T, (r_k * w_k[:, None]).reshape(ek * R))
 
         damp_int = _mm(isel, dampv).T.reshape(-1)
@@ -510,8 +561,29 @@ def schur_solve(
 
     A_b, F_b, b_b, s_int_b = jax.vmap(block_sys)(
         part.edge_sel, part.int_sel, part.int_mask,
-        part.int_a, part.int_b, part.sep_a, part.sep_b,
+        part.int_a, part.int_b, part.sep_a, part.sep_b, part.loc_sel,
     )
+
+    def expand_S(S_loc):
+        """Sum per-block local (D*nsk, D*nsk) separator contributions into
+        the global (D*ns, D*ns) system via the local->global one-hots --
+        two batched MXU matmuls, no scatter."""
+        S4 = S_loc.reshape(P_blk, D, nsk, D, nsk)
+        T1 = jnp.einsum("pambn,pnv->pambv", S4, part.loc_sel,
+                        precision=_PREC)
+        return jnp.einsum("pambv,pmu->aubv", T1, part.loc_sel,
+                          precision=_PREC).reshape(D * ns, D * ns)
+
+    def expand_rhs(g_loc):
+        """(P, D*nsk) block contributions -> (D*ns,) global rhs."""
+        return jnp.einsum("pam,pmu->au", g_loc.reshape(P_blk, D, nsk),
+                          part.loc_sel, precision=_PREC).reshape(-1)
+
+    def gather_sep(x_sep_):
+        """(D*ns,) global separator solution -> per-block (P, D*nsk)."""
+        return jnp.einsum("pmu,au->pam", part.loc_sel,
+                          x_sep_.reshape(D, ns),
+                          precision=_PREC).reshape(P_blk, D * nsk)
 
     # ---- eliminate interiors, reduce separator -------------------------
     # Half-substitution formulation: with A = L L^T and G = L^-1 [F | b],
@@ -529,8 +601,10 @@ def schur_solve(
         Fb_ext = jnp.concatenate([F_b, b_b[..., None]], axis=-1)
         Yext = bc.cho_solve_blocked(fac, Fb_ext)
         Y, y = Yext[..., :-1], Yext[..., -1]
-        S = C - jnp.einsum("pij,pik->jk", F_b, Y, precision=_PREC)
-        rhs_s = b_sep - jnp.einsum("pij,pi->j", F_b, y, precision=_PREC)
+        S = C - expand_S(
+            jnp.einsum("pij,pik->pjk", F_b, Y, precision=_PREC))
+        rhs_s = b_sep - expand_rhs(
+            jnp.einsum("pij,pi->pj", F_b, y, precision=_PREC))
     else:
         chol = jax.vmap(
             lambda A: jax.scipy.linalg.cho_factor(A, lower=True)[0]
@@ -560,8 +634,10 @@ def schur_solve(
                     L, B, lower=True)
             )(chol, Fb_ext)                    # (P, D*ni, D*ns + 1)
         G_F, g_b = G_ext[..., :-1], G_ext[..., -1]
-        S = C - jnp.einsum("pij,pik->jk", G_F, G_F, precision=_PREC)
-        rhs_s = b_sep - jnp.einsum("pij,pi->j", G_F, g_b, precision=_PREC)
+        S = C - expand_S(
+            jnp.einsum("pij,pik->pjk", G_F, G_F, precision=_PREC))
+        rhs_s = b_sep - expand_rhs(
+            jnp.einsum("pij,pi->pj", G_F, g_b, precision=_PREC))
 
     if _sep_blocked:
         from slam_tpu.solver import blocked_chol as bc
@@ -571,10 +647,12 @@ def schur_solve(
         Ls = jax.scipy.linalg.cho_factor(S, lower=True)
         x_sep = jax.scipy.linalg.cho_solve(Ls, rhs_s)  # (D*ns,)
 
+    x_sep_loc = gather_sep(x_sep)                      # (P, D*nsk)
     if blocked:
-        x_int = y - jnp.einsum("pij,j->pi", Y, x_sep, precision=_PREC)
+        x_int = y - jnp.einsum("pij,pj->pi", Y, x_sep_loc, precision=_PREC)
     else:
-        half = g_b - jnp.einsum("pij,j->pi", G_F, x_sep, precision=_PREC)
+        half = g_b - jnp.einsum("pij,pj->pi", G_F, x_sep_loc,
+                                precision=_PREC)
         if use_inv:
             # x_int = L^-T half, as a matmul with the explicit inverse.
             x_int = jnp.einsum("pji,pj->pi", Linv, half, precision=_PREC)

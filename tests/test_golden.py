@@ -71,7 +71,9 @@ def test_m3500_dcs_outliers_matches_golden():
     M3500 + DCS + 50 injected outliers must converge to the committed
     golden (the chordal-basin optimum; r1's anchor at cost 1.33 was a bad
     local minimum).  Runs the PRODUCT pipeline -- auto init (PCM-gated
-    chordal) + the f64 solve -- with a reduced iteration budget."""
+    chordal) + the f64 solve -- with a reduced iteration budget (measured
+    on this harness: 15 iters leaves ATE 2.08, 25 iters reaches 0.085 at
+    cost 1.2998 -- the budget must sit past that knee)."""
     from slam_tpu.config import RunConfig, SolverConfig
     from slam_tpu.io import g2o as g2o_io
     from slam_tpu.methods.global_solve import run_global_solve
@@ -85,7 +87,7 @@ def test_m3500_dcs_outliers_matches_golden():
     out = run_global_solve(
         dirty,
         RunConfig(dataset="M3500", method=1, num_outliers=50,
-                  solver=SolverConfig(dtype="float64", max_iterations=15)),
+                  solver=SolverConfig(dtype="float64", max_iterations=25)),
         RunLogger(echo=False))
     ate = metrics.ate(out.poses, golden)
     assert ate < 0.5, ate

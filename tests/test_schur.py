@@ -67,7 +67,7 @@ def test_partition_stats_match_build(problem):
         part = build_partition(graph.edges_ij, graph.num_nodes, P,
                                dtype=jnp.float64)
         assert partition_stats(graph.edges_ij, graph.num_nodes, P) == (
-            part.ni_max, part.ns, part.ek_max, part.es_max
+            part.ni_max, part.ns, part.ek_max, part.es_max, part.nsk_max
         )
 
 
