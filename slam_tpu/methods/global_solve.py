@@ -98,8 +98,9 @@ def run_global_solve(
     if scfg.linear_solver == "schur":
         from slam_tpu.solver.schur import build_partition, choose_num_blocks
 
-        # Flop-model block-count choice; matches the measured per-dataset
-        # winners (INTEL 16, M10000 8, sphere2500 4 -- results/README.md).
+        # Tile-padded cost-model block-count choice; matches the measured
+        # per-dataset winners (INTEL 16, M10000 24, sphere2500 4 --
+        # results/ROUND2.md).
         nblocks = choose_num_blocks(
             np.asarray(edges.ij), canon.num_nodes,
             tangent_dim=model.tangent_dim,

@@ -267,6 +267,12 @@ def partition_stats(
     return ni_max, len(sep_ids), ek_max, max(1, len(sep_edges)), nsk_max
 
 
+def _tile(x: int | float, t: int = 128) -> int:
+    """Round ``x`` up to a multiple of the TPU lane tile (128)."""
+    x = int(x)
+    return -(-x // t) * t
+
+
 def choose_num_blocks(
     ij: np.ndarray,
     n: int,
@@ -274,45 +280,57 @@ def choose_num_blocks(
     residual_dim: int | None = None,
     candidates: tuple[int, ...] = (2, 4, 6, 8, 12, 16, 24, 32),
 ) -> int:
-    """Pick the Schur block count minimising a per-iteration flop model.
+    """Pick the Schur block count minimising a tile-padded cost model.
 
-    Counts the dominant terms of :func:`schur_solve` (interior Cholesky,
-    Y triangular solves, A/F assembly, ``F^T Y``, separator Cholesky, C
-    assembly) for each candidate partition.  Validated against the measured
-    winners (results/README.md): INTEL+50 -> 16, M10000+50 -> 8,
-    sphere2500 -> 4, M3500+50 -> 8 (measured best 6; 8 sits between the
-    measured 6 and 12 points).
+    Counts the dominant matmul terms of :func:`schur_solve` with every
+    dimension rounded up to the 128-lane TPU tile (small per-block
+    matrices waste the MXU; a raw flop count misses that and picks too
+    few blocks at scale).  Separator-side terms (local->global S
+    expansion, separator Cholesky, C assembly) are down-weighted
+    (0.5/0.5/0.3): they are single large dense matmuls running near peak
+    MXU utilisation, while the per-block terms are P-batched small
+    matmuls at lower efficiency.  Weights fitted (r3) to reproduce the
+    measured winners with >=30% margin: INTEL+50 -> 16 (622 it/s vs
+    552/497 at 12/24), M10000+50 -> 24 (14.9 it/s vs 12.5/12.7/11.6 at
+    8/12/32) -- results/ROUND2.md; M3500 -> 8 (measured best 6, 8 within
+    a few % -- results/README.md).
+
+    For SE(3) (``tangent_dim >= 6``) candidates whose separator exceeds
+    n/8 poses are rejected outright: sphere2500 converges measurably
+    worse in f32 at P=6 (ns=501) than at P=4 (ns=301) -- the separator
+    system's conditioning, not speed, binds (advisor r2).  The cap keeps
+    the measured quality winner sphere2500 -> 4.
     """
     ij = np.asarray(ij)
     D = tangent_dim
     R = residual_dim if residual_dim is not None else tangent_dim
-    E = ij.shape[0]
     best_p, best_f = None, None
     for P in candidates:
         if P < 2 or n // P < 8:
             continue
         ni, ns, ek, es, nsk = partition_stats(ij, n, P)
+        if D >= 6 and ns > n // 8:
+            continue  # SE(3) f32 quality guard (see docstring)
         dni, dns, ekR = D * ni, D * ns, ek * R
         dnsk = D * nsk
-        # Terms re-fitted after the local-separator F compaction (r2): the
-        # C assembly runs over sep-touching edges (es rows), so its real
-        # es*R*dns^2 cost replaces the old full-E penalty term.  The model
-        # reproduces the post-compaction measured winners (INTEL 16 at
-        # 622 it/s vs 552/497 at 12/24; M10000 24 at 14.9 it/s vs
-        # 12.5/12.7/11.6 at 8/16/32 -- results/ROUND2.md).
+        p = _tile
         f = (
-            P * dni**3 / 3             # interior Cholesky
-            + 2 * P * dni * dni * dnsk  # Y triangular solves (local F width)
-            + P * dni * dni * ekR       # A assembly
-            + P * dni * dnsk * ekR      # F assembly (local width)
-            + P * dnsk * dnsk * dni     # G^T G reduction (local)
-            + P * dnsk * dns * (dnsk + dns)  # local->global S expansion
-            + dns**3 / 3                # separator Cholesky
-            + es * R * dns * dns        # C assembly (sep-touching rows)
+            P * p(dni) ** 3 / 3              # interior Cholesky
+            + 2 * P * p(dni) * p(dni) * p(dnsk)  # Y triangular solves
+            + P * p(dni) * p(dni) * p(ekR)   # A assembly
+            + P * p(dni) * p(dnsk) * p(ekR)  # F assembly (local width)
+            + P * p(dnsk) * p(dnsk) * p(dni)  # G^T G reduction (local)
+            + 0.5 * P * p(dnsk) * p(dns) * (p(dnsk) + p(dns))  # S expansion
+            + 0.5 * p(dns) ** 3 / 3          # separator Cholesky
+            + 0.3 * p(es * R) * p(dns) * p(dns)  # C assembly (sep rows)
         )
         if best_f is None or f < best_f:
             best_p, best_f = P, f
-    assert best_p is not None, "no feasible block count"
+    if best_p is None:
+        # all candidates capped out (tiny or pathologically-connected
+        # SE(3) graph): fall back to the uncapped flop-minimal choice.
+        return choose_num_blocks(ij, n, min(tangent_dim, 3), residual_dim,
+                                 candidates)
     return best_p
 
 
@@ -321,15 +339,15 @@ def build_partition(
     n: int,
     num_blocks: int,
     dtype=jnp.float32,
-    pad_shapes: tuple[int, int, int] | None = None,
+    pad_shapes: tuple[int, ...] | None = None,
     optimize_cuts: bool = False,
 ) -> SchurPartition:
     """Contiguous index-range partition with cross-edge separator.
 
-    ``pad_shapes=(ni_max, ns, ek_max, es_max)`` pads the operators to given
-    maxima so partitions of *different* graphs (e.g. per-outlier-seed) share
-    one compiled program and can be vmapped/stacked together (a legacy
-    3-tuple without ``es_max`` is accepted).  ``optimize_cuts`` places the
+    ``pad_shapes=(ni_max, ns, ek_max, es_max, nsk_max)`` pads the operators
+    to given maxima so partitions of *different* graphs (e.g. per-outlier-
+    seed) share one compiled program and can be vmapped/stacked together
+    (legacy 3-/4-tuples without ``es_max``/``nsk_max`` are accepted).  ``optimize_cuts`` places the
     block boundaries with :func:`optimize_cut_positions` instead of
     equal-size slicing.
     """
@@ -632,7 +650,7 @@ def schur_solve(
             G_ext = jax.vmap(
                 lambda L, B: jax.scipy.linalg.solve_triangular(
                     L, B, lower=True)
-            )(chol, Fb_ext)                    # (P, D*ni, D*ns + 1)
+            )(chol, Fb_ext)                    # (P, D*ni, D*nsk + 1)
         G_F, g_b = G_ext[..., :-1], G_ext[..., -1]
         S = C - expand_S(
             jnp.einsum("pij,pik->pjk", G_F, G_F, precision=_PREC))

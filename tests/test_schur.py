@@ -72,8 +72,10 @@ def test_partition_stats_match_build(problem):
 
 
 def test_choose_num_blocks_measured_winners():
-    """The flop model reproduces the measured per-dataset block-count
-    winners (results/README.md throughput tables)."""
+    """The tile-padded cost model reproduces the measured per-dataset
+    block-count winners: INTEL+50 -> 16 (622 it/s, results/ROUND2.md),
+    M10000+50 -> 24 (14.9 it/s, results/ROUND2.md), sphere2500 -> 4 (the
+    SE(3) f32 quality winner, guarded by the separator cap)."""
     from slam_tpu.io import g2o
     from slam_tpu.solver.schur import choose_num_blocks
 
@@ -89,7 +91,7 @@ def test_choose_num_blocks_measured_winners():
     if os.path.exists("data/M10000.g2o"):
         m = g2o.load_g2o("data/M10000.g2o")
         m = m.add_random_outliers(50, seed=0).canonical_order()
-        assert choose_num_blocks(m.edges_ij, m.num_nodes) == 8
+        assert choose_num_blocks(m.edges_ij, m.num_nodes) == 24
 
 
 def test_blocked_cholesky_matches_scipy():
