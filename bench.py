@@ -12,12 +12,18 @@ Metric: aggregate LM iterations/second on one chip, steady state (best of
 3, inputs perturbed per rep, host-transfer barrier -- see timing note
 below).
 
-Baseline: Ceres (SPARSE_NORMAL_CHOLESKY, trust-region LM, the reference's
-exact configuration) on a single CPU host solves INTEL-scale graphs at
-roughly 10-20 ms per iteration (~3.7k parameters, ~15k Jacobian nnz,
-AMD-ordered sparse Cholesky); Ceres is not installed in this image, so we
-use 100 iterations/s -- the OPTIMISTIC end of that range -- as the fixed
-documented baseline so ``vs_baseline`` is understated rather than inflated.
+Baselines (two, both reported):
+* ``vs_baseline`` -- Ceres (SPARSE_NORMAL_CHOLESKY, trust-region LM, the
+  reference's exact configuration) on a single CPU host solves
+  INTEL-scale graphs at roughly 10-20 ms per iteration (~3.7k
+  parameters, ~15k Jacobian nnz, AMD-ordered sparse Cholesky); Ceres is
+  not installable in this image (verified r1), so 100 iterations/s --
+  the OPTIMISTIC end of that range -- is the fixed documented estimate,
+  understating rather than inflating the ratio.
+* ``vs_measured_cpu`` -- this repo's own solver (f64, best of
+  dense/schur) on the identical workload pinned to ONE core of THIS
+  machine, measured by ``scripts/bench_cpu_baseline.py`` and committed
+  in ``results/cpu_baseline.json``.  No unmeasured constant.
 
 Quality gate before timing: the 50-iteration solve must reach the known
 good cost band for this seed (dense f64 reference: 2.9697 -> ~1.51).
@@ -127,7 +133,7 @@ def main() -> int:
         best = min(best, time.perf_counter() - t0)
 
     iters_per_s = BATCH * LM_ITERS / best
-    print(json.dumps({
+    record = {
         "metric": (
             f"{DATASET}+{NUM_OUTLIERS}outliers DCS robust LM iterations/s "
             f"(1 chip, batch {BATCH}, per-seed partitioned-Schur exact "
@@ -136,7 +142,15 @@ def main() -> int:
         "value": round(iters_per_s, 1),
         "unit": "iters/s",
         "vs_baseline": round(iters_per_s / CERES_CPU_BASELINE_ITERS_PER_S, 2),
-    }))
+    }
+    import os
+    cpu_base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "results", "cpu_baseline.json")
+    if os.path.exists(cpu_base):
+        measured = json.load(open(cpu_base)).get("iters_per_s")
+        if measured:
+            record["vs_measured_cpu"] = round(iters_per_s / measured, 1)
+    print(json.dumps(record))
     return 0
 
 

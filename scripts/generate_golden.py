@@ -39,8 +39,10 @@ CONFIGS = [
     ("INTEL", 0, 0, 0),
     ("INTEL", 50, 42, 1),
     ("INTEL", 100, 42, 1),
+    ("INTEL", 200, 42, 1),
     ("CSAIL", 0, 0, 0),
     ("CSAIL", 50, 42, 1),
+    ("CSAIL", 200, 42, 1),
     ("M3500", 0, 0, 0),
     ("M3500", 10, 0, 1),
     ("M3500", 50, 0, 1),

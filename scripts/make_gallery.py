@@ -23,7 +23,14 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 OUT = os.path.join(os.path.dirname(__file__), "..", "results", "gallery")
-COUNTS = [0, 50, 100]
+# Columns mirror the reference's published envelope per dataset
+# (docs/INTEL/INTEL_{5,50,100,200}_ON_*.png; M3500 rides the BASELINE grid).
+COUNTS_BY_DS = {
+    "INTEL": [0, 50, 100, 200],
+    "CSAIL": [0, 50, 100, 200],
+    "M3500": [0, 10, 50, 100],
+}
+DEFAULT_COUNTS = [0, 50, 100]
 
 
 def main(datasets: list[str]) -> None:
@@ -46,12 +53,13 @@ def main(datasets: list[str]) -> None:
     solver = SolverConfig()
 
     for ds in datasets:
+        counts = COUNTS_BY_DS.get(ds, DEFAULT_COUNTS)
         graph = g2o.load_g2o(g2o.find_dataset(ds))
         clean = run_global_solve(
             graph, RunConfig(dataset=ds, method=0, solver=solver), log)
         fig, axes = plt.subplots(
-            2, len(COUNTS), figsize=(4.2 * len(COUNTS), 8.2))
-        for col, n in enumerate(COUNTS):
+            2, len(counts), figsize=(4.2 * len(counts), 8.2))
+        for col, n in enumerate(counts):
             dirty = graph.add_random_outliers(n, seed=0)
             for row, method in enumerate((0, 1)):
                 out = run_global_solve(

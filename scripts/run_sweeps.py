@@ -1,0 +1,70 @@
+"""Regenerate the canonical multi-dataset sweep tables (results/sweeps/).
+
+Runs the PRODUCT pipeline (run_global_solve: auto init, DCS psi-consensus
+and closure-dropout retries) over the (method x outlier-count) grid per
+dataset and writes ``results/sweeps/<DS>/sweep.{json,md}`` plus the
+combined ``results/sweeps/all.md`` -- the quantitative version of the
+reference's qualitative experiment grid (``/root/reference/README.md:38-44``).
+
+The grid covers the reference's full published envelope, including the
+high-outlier INTEL/CSAIL columns (100/200 -- ``docs/INTEL/
+INTEL_200_ON_Try1.png``).  f32 on whatever backend is active (TPU under
+axon; tests force CPU); wall times are per-cell solve walls on that
+backend.
+
+Usage: python scripts/run_sweeps.py [DATASET ...]   (default: all)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SWEEPS = os.path.join(os.path.dirname(__file__), "..", "results", "sweeps")
+
+# dataset -> outlier counts (methods 0/1 everywhere)
+GRID = {
+    "INTEL": [0, 50, 100, 200],
+    "CSAIL": [0, 50, 100, 200],
+    "M3500": [0, 10, 50, 100],
+    "MIT": [0, 50],
+    "FR079": [0, 50],
+    "FRH": [0, 50],
+}
+
+
+def main(only: list[str]) -> None:
+    from slam_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    from slam_tpu.config import SolverConfig
+    from slam_tpu.eval import harness
+    from slam_tpu.utils.logging import RunLogger
+
+    all_cells = []
+    for ds, counts in GRID.items():
+        if only and ds not in only:
+            continue
+        cells = harness.run_sweep(
+            ds, methods=[0, 1], outlier_counts=counts, seeds=[0],
+            solver=SolverConfig(dtype="float32"),
+            save_path=os.path.join(SWEEPS, ds),
+            logger=RunLogger(echo=False),
+        )
+        for c in cells:
+            print(f"{ds} m{c.method} +{c.num_outliers}: "
+                  f"ATE={c.ate_vs_clean:.3f} cost={c.final_cost:.4f} "
+                  f"wall={c.wall_s:.2f}s", flush=True)
+        all_cells.extend(cells)
+
+    if not only:  # full run refreshes the combined table
+        with open(os.path.join(SWEEPS, "all.md"), "w") as f:
+            f.write(harness.format_table(all_cells))
+    print("sweeps regenerated")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -123,33 +123,115 @@ def run_global_solve(
     )
     jax.block_until_ready(res.poses)
 
-    # DCS closure-dropout auto-retry (see SolverConfig.dcs_auto_retry): a
-    # low mean final psi means DCS converged to the closure-free minimum
-    # (M3500/MIT failure mode); a GNC-annealed re-solve from the same init
-    # escapes it.  Kept only if it actually re-explains closures.
-    if (scfg.robust == "dcs" and scfg.dcs_auto_retry
-            and not scfg.gnc_anneal_iters):
-        from slam_tpu.solver.linearize import loop_psi_mean
+    # ---- DCS rescue passes (psi-consensus + GNC retry) -----------------
+    # Plain DCS has two failure modes on outlier-injected graphs:
+    # (a) the PARTIALLY poisoned basin on raw-odometry graphs at the
+    #     reference's headline outlier counts (INTEL 100-200,
+    #     README.md:41-42): most bogus loops end suppressed (psi ~ 0) but
+    #     so do 30-60% of the real ones, and the surviving consensus is
+    #     bent meters away (measured INTEL+100: ATE 6.17 m, 94/256 real
+    #     loops dropped);
+    # (b) TOTAL closure dropout from a bad init (M3500/MIT): psi ~ 0 on
+    #     everything and LM settles in the odometry-only minimum.
+    # For (a), run multi-chain psi-consensus: hard-drop loops whose final
+    # psi < cut, re-solve from the ORIGINAL init (cold restart -- warm
+    # restarts stay in the bent basin, measured), re-admit loops that fit
+    # the improved solution, iterate to a mask fixed point; chain 0 trims
+    # from the full loop set, the rest start from seeded random
+    # half-subsets (the RANSAC move that cracks coalition traps --
+    # measured INTEL+200 seed 42).  For (b), re-solve with GNC annealing.
+    # ALL candidates (plain, every chain, GNC) are then ranked on the
+    # COMMON full objective (cost_only over every live edge): loop-count
+    # votes and mean-psi scores are both gameable by a mutually-
+    # consistent bogus COALITION (measured on a 120-node two-lap circle:
+    # the coalition "explains" more loops / raises mean psi while
+    # tripling ATE), but fitting a coalition must bend the odometry, and
+    # the full objective prices that.  Measured rankings (f64):
+    # INTEL+100 plain/GNC/consensus cost 2.25/1.85/1.17 at ATE
+    # 6.2/10.7/0.018 -- argmin-cost picks the quality winner.
+    if (scfg.robust == "dcs" and not scfg.gnc_anneal_iters
+            and (scfg.dcs_consensus or scfg.dcs_auto_retry)):
+        from slam_tpu.solver.linearize import cost_only, loop_psi
 
-        psi0 = float(loop_psi_mean(res.poses, edges, model, scfg.dcs_phi))
-        if psi0 < scfg.dcs_retry_threshold:
+        def full_cost(r):
+            return float(jax.device_get(cost_only(
+                r.poses, r.switches, edges, model=model, robust="dcs",
+                dcs_phi=scfg.dcs_phi, huber_delta=scfg.huber_delta,
+                sc_prior_lambda=scfg.sc_prior_lambda)))
+
+        cut = scfg.dcs_consensus_cut
+        live_loop = (np.asarray(edges.active)
+                     * np.asarray(edges.is_loop, np.float64))
+        n_live = max(float(live_loop.sum()), 1.0)
+        psi_plain = np.asarray(jax.device_get(
+            loop_psi(res.poses, edges, model, scfg.dcs_phi)))
+        drop_frac = float((live_loop * (psi_plain < 0.2)).sum() / n_live)
+        mean_psi = float((live_loop * psi_plain).sum() / n_live)
+        candidates = []  # (tag, result)
+
+        if (scfg.dcs_consensus
+                and drop_frac > scfg.dcs_consensus_drop_frac):
+            base_active = np.asarray(edges.active)
+            rng = np.random.default_rng(getattr(cfg, "seed", 0))
+            for chain in range(max(1, scfg.dcs_consensus_chains)):
+                if chain == 0:
+                    # trim from the full loop set (the mask evolves from
+                    # the plain solve's psi on the first round)
+                    mask = np.ones_like(base_active)
+                    psi = psi_plain
+                else:
+                    # RANSAC move: seeded random half-subset of the loops
+                    sub = rng.random(base_active.shape) < 0.5
+                    mask = np.where((live_loop > 0) & ~sub, 0.0,
+                                    1.0).astype(base_active.dtype)
+                    psi = None
+                res_c = res
+                for _ in range(scfg.dcs_consensus_rounds):
+                    if psi is not None:
+                        new_mask = np.where(
+                            live_loop > 0,
+                            (psi > cut).astype(base_active.dtype), 1.0)
+                        if res_c is not res and (new_mask == mask).all():
+                            break
+                        mask = new_mask
+                    es = edges._replace(
+                        active=jnp.asarray(base_active * mask, dtype))
+                    res_c = lm_solve(
+                        poses0, switches0, es, free, scfg,
+                        model=model, partition=partition,
+                    )
+                    psi = np.asarray(jax.device_get(
+                        loop_psi(res_c.poses, edges, model, scfg.dcs_phi)))
+                if res_c is not res:
+                    candidates.append((f"consensus{chain}", res_c))
+
+        if scfg.dcs_auto_retry and mean_psi < scfg.dcs_retry_threshold:
             retry_cfg = scfg.replace(
                 gnc_anneal_iters=scfg.dcs_retry_gnc_iters)
-            res2 = lm_solve(
+            res_g = lm_solve(
                 poses0, switches0, edges, free, retry_cfg,
                 model=model, partition=partition,
             )
-            jax.block_until_ready(res2.poses)
-            psi1 = float(
-                loop_psi_mean(res2.poses, edges, model, scfg.dcs_phi))
-            keep = psi1 > psi0 + 0.05
+            candidates.append(("gnc", res_g))
+
+        if candidates:
+            plain_cost = full_cost(res)
+            scored = [(full_cost(r), tag, r) for tag, r in candidates]
+            best_cost, best_tag, best_res = min(scored, key=lambda x: x[0])
+            # Replace the plain solve only on a clear (>2%) objective
+            # improvement -- ties within noise keep reference behaviour.
+            kept = best_cost < 0.98 * plain_cost
             logger.log(
-                "retry", reason="dcs-closure-dropout",
-                mean_psi_before=psi0, mean_psi_after=psi1,
-                gnc_iters=scfg.dcs_retry_gnc_iters, kept=bool(keep),
+                "retry", reason="dcs-rescue",
+                drop_frac=round(drop_frac, 3),
+                mean_psi=round(mean_psi, 3),
+                candidates=len(candidates),
+                plain_cost=round(plain_cost, 4),
+                best_cost=round(best_cost, 4), best=best_tag,
+                kept=bool(kept),
             )
-            if keep:
-                res = res2
+            if kept:
+                res = best_res
     wall = time.perf_counter() - t0
 
     logger.log(

@@ -227,15 +227,21 @@ def cost_only(
     return cost
 
 
-def loop_psi_mean(poses: Array, edges: EdgeSet, model, phi: float) -> Array:
-    """Mean DCS psi over live loop edges at ``poses`` -- the closure-dropout
-    probe for the auto-retry policy (SolverConfig.dcs_auto_retry).  Uses the
-    solver's own psi semantics: RAW xy residual, no information weighting
+def loop_psi(poses: Array, edges: EdgeSet, model, phi: float) -> Array:
+    """Per-edge DCS psi at ``poses`` (all edges; mask with
+    ``edges.is_loop``/``edges.active`` as needed).  Uses the solver's own
+    psi semantics: RAW xy residual, no information weighting
     (``ceres_error.cpp:186``)."""
     pa = edges.gather_a(poses)
     pb = edges.gather_b(poses)
     e = model.residual(pa, pb, edges.meas)
-    psi = kernels.dcs_psi(e, phi, dims=model.dcs_dims)
+    return kernels.dcs_psi(e, phi, dims=model.dcs_dims)
+
+
+def loop_psi_mean(poses: Array, edges: EdgeSet, model, phi: float) -> Array:
+    """Mean DCS psi over live loop edges at ``poses`` -- the closure-dropout
+    probe for the auto-retry policy (SolverConfig.dcs_auto_retry)."""
+    psi = loop_psi(poses, edges, model, phi)
     live = edges.active * edges.is_loop.astype(poses.dtype)
     return jnp.sum(live * psi) / jnp.maximum(jnp.sum(live), 1.0)
 
