@@ -66,7 +66,7 @@ def main() -> int:
     print(f"dist problem: ni={prob.ni} ns={prob.ns} ek={prob.ek}", flush=True)
     mesh = make_block_mesh(8)
     t0 = time.perf_counter()
-    poses, cost, cost0 = distributed_schur_lm(
+    poses, cost, cost0, _sw = distributed_schur_lm(
         poses0, free, prob, cfg, mesh, iters
     )
     cost0, cost = float(cost0), float(cost)

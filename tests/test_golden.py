@@ -66,6 +66,58 @@ def test_csail_dcs_outliers_matches_golden():
 
 
 @needs_golden
+def test_intel_clean_matches_golden():
+    meta = json.load(open(os.path.join(GOLDEN, "meta.json")))
+    key = "INTEL_0out_seed0"
+    golden = np.load(os.path.join(GOLDEN, f"{key}.npy"))
+    res = _solve("INTEL", 0, 0, 40, "none")
+    ate = metrics.ate(np.asarray(res.poses), golden)
+    assert ate < 0.05, ate
+    assert float(res.cost) < 2.0 * meta[key]["final_cost"] + 0.05
+
+
+def _product_gate(dataset, outliers, seed, key, max_ate, max_iterations=30,
+                  chains=2):
+    """Golden gate through the PRODUCT pipeline (auto init + DCS rescue)
+    at a reduced budget -- the pattern of the M3500 gate, extended to the
+    r3 INTEL/CSAIL high-outlier envelope."""
+    from slam_tpu.config import RunConfig, SolverConfig
+    from slam_tpu.io import g2o as g2o_io
+    from slam_tpu.methods.global_solve import run_global_solve
+    from slam_tpu.utils.logging import RunLogger
+
+    golden = np.load(os.path.join(GOLDEN, f"{key}.npy"))
+    graph = g2o_io.load_g2o(g2o_io.find_dataset(dataset))
+    dirty = graph.add_random_outliers(outliers, seed=seed)
+    out = run_global_solve(
+        dirty,
+        RunConfig(dataset=dataset, method=1, num_outliers=outliers,
+                  seed=seed,
+                  solver=SolverConfig(dtype="float64",
+                                      max_iterations=max_iterations,
+                                      dcs_consensus_chains=chains)),
+        RunLogger(echo=False))
+    ate = metrics.ate(out.poses, golden)
+    assert ate < max_ate, (key, ate)
+    return out
+
+
+@needs_golden
+def test_intel_50out_product_matches_golden():
+    """INTEL+50 seed 42: the r1/r2 'healthy' anchor was actually a
+    partially-poisoned basin (plain DCS ATE 4.24 m); the r3 rescue takes
+    it to ~0.01 m.  Gate the product pipeline against the new golden."""
+    _product_gate("INTEL", 50, 42, "INTEL_50out_seed42", 0.5)
+
+
+@needs_golden
+def test_csail_200out_product_matches_golden():
+    """CSAIL at the reference's maximum published outlier count
+    (docs/CSAIL/CSAIL_200_ON_Try1.png)."""
+    _product_gate("CSAIL", 200, 42, "CSAIL_200out_seed42", 0.5)
+
+
+@needs_golden
 def test_m3500_dcs_outliers_matches_golden():
     """The round-2 headline gate (BASELINE configs[2] / VERDICT r1 #1):
     M3500 + DCS + 50 injected outliers must converge to the committed
