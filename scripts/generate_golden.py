@@ -48,6 +48,7 @@ CONFIGS = [
     ("M3500", 50, 0, 1),
     ("M3500", 100, 0, 1),
     ("sphere2500", 0, 0, 1),
+    ("sphere2500", 50, 0, 1),
 ]
 
 METHOD_NAME = {0: "baseline", 1: "dcs"}

@@ -26,8 +26,15 @@ All-pairs checks are O(L^2) outer-product arithmetic over the (L,) loop
 summaries -- numpy on the host at ingestion scale (L ~ 2-3k: a few MB),
 and trivially an MXU batch if ever needed on device.
 
-SE(2) only (the adversary lives in the 2D datasets); SE(3) graphs return
-"all inliers" and rely on the chordal GNC gate.
+SE(3) (r3): the same cycle test with quaternion innovation summaries.
+Rotations are no longer abelian, so the exact cycle error is replaced by
+its first-order surrogate: per-loop GLOBAL-frame innovation rotation
+``q_e = q(O_a) * q(T_e) * conj(q(O_b))`` and translation innovation
+``v_e = (O_a . T_e).t - O_b.t``; the pair (e, f) error is the geodesic
+angle of ``q_e * conj(q_f)`` (equivalent to the chordal distance of the
+relative rotations for small angles) and ``|v_e - v_f|``.  Drift between
+the two closures' endpoints enters at first order exactly as in 2D, so
+the same index-gap random-walk gate model (self-tuned) applies.
 """
 
 from __future__ import annotations
@@ -54,8 +61,29 @@ class PcmResult:
     s_trans2_per_step: float = 0.0
 
 
+def _quat_mul(q1, q2):
+    w1, x1, y1, z1 = np.moveaxis(q1, -1, 0)
+    w2, x2, y2, z2 = np.moveaxis(q2, -1, 0)
+    return np.stack([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+    ], axis=-1)
+
+
+def _quat_conj(q):
+    return q * np.array([1.0, -1.0, -1.0, -1.0])
+
+
+def _quat_rotate(q, v):
+    qv = np.concatenate([np.zeros(v.shape[:-1] + (1,)), v], axis=-1)
+    return _quat_mul(_quat_mul(q, qv), _quat_conj(q))[..., 1:]
+
+
 def _integrate_chain(graph: PoseGraph) -> np.ndarray:
-    """Integrate the odometry chain into global-frame poses ``O`` (N, 3).
+    """Integrate the odometry chain into global-frame poses ``O`` --
+    ``(N, 3)`` for SE(2), ``(N, 7)`` (xyz + wxyz quaternion) for SE(3).
 
     Uses the odometry EDGES (measurements), not the file's vertex
     estimates, so the cycle test is anchored to the same evidence the
@@ -69,6 +97,13 @@ def _integrate_chain(graph: PoseGraph) -> np.ndarray:
     odo = np.asarray(graph.edge_type) == ODOMETRY_EDGE
     # Chain in index order (canonical graphs: (i, i+1)).
     order = np.argsort(ij[odo][:, 0], kind="stable")
+    if graph.dim == 7:
+        for a, b, m in zip(ij[odo][order][:, 0], ij[odo][order][:, 1],
+                           meas[odo][order]):
+            O[b, :3] = O[a, :3] + _quat_rotate(O[a, 3:7], m[:3])
+            q = _quat_mul(O[a, 3:7], m[3:7])
+            O[b, 3:7] = q / np.linalg.norm(q)
+        return O
     for a, b, m in zip(ij[odo][order][:, 0], ij[odo][order][:, 1],
                        meas[odo][order]):
         c, s = np.cos(O[a, 2]), np.sin(O[a, 2])
@@ -108,7 +143,7 @@ def pcm_loop_mask(
     ij = np.asarray(graph.edges_ij)
     loop_idx = np.where(np.asarray(graph.edge_type) != ODOMETRY_EDGE)[0]
     L = loop_idx.shape[0]
-    if L == 0 or graph.dim != 3:
+    if L == 0 or graph.dim not in (3, 7):
         return PcmResult(np.ones(L, bool), loop_idx, np.ones(L), 0)
 
     O = _integrate_chain(graph)
@@ -116,16 +151,30 @@ def pcm_loop_mask(
     a = ij[loop_idx, 0]
     b = ij[loop_idx, 1]
 
-    ca, sa = np.cos(O[a, 2]), np.sin(O[a, 2])
-    theta = O[a, 2] + meas[:, 2] - O[b, 2]
-    theta = np.arctan2(np.sin(theta), np.cos(theta))
-    vx = O[a, 0] + ca * meas[:, 0] - sa * meas[:, 1] - O[b, 0]
-    vy = O[a, 1] + sa * meas[:, 0] + ca * meas[:, 1] - O[b, 1]
+    if graph.dim == 7:
+        # SE(3) innovation summaries (see module docstring).
+        q_e = _quat_mul(_quat_mul(O[a, 3:7], meas[:, 3:7]),
+                        _quat_conj(O[b, 3:7]))
+        q_e /= np.linalg.norm(q_e, axis=-1, keepdims=True)
+        v = O[a, :3] + _quat_rotate(O[a, 3:7], meas[:, :3]) - O[b, :3]
+        # Pairwise geodesic rotation error: angle(q_e * conj(q_f)) =
+        # 2*acos(|<q_e, q_f>|) -- one (L, L) Gram matrix.
+        dots = np.clip(np.abs(q_e @ q_e.T), 0.0, 1.0)
+        dth = 2.0 * np.arccos(dots)
+        dv2 = np.sum(
+            (v[:, None, :] - v[None, :, :]) ** 2, axis=-1)
+    else:
+        ca, sa = np.cos(O[a, 2]), np.sin(O[a, 2])
+        theta = O[a, 2] + meas[:, 2] - O[b, 2]
+        theta = np.arctan2(np.sin(theta), np.cos(theta))
+        vx = O[a, 0] + ca * meas[:, 0] - sa * meas[:, 1] - O[b, 0]
+        vy = O[a, 1] + sa * meas[:, 0] + ca * meas[:, 1] - O[b, 1]
 
-    # Pairwise errors + drift-scaled gates (L x L; ~tens of MB at L ~ 3k).
-    dth = theta[:, None] - theta[None, :]
-    dth = np.abs(np.arctan2(np.sin(dth), np.cos(dth)))
-    dv2 = (vx[:, None] - vx[None, :]) ** 2 + (vy[:, None] - vy[None, :]) ** 2
+        # Pairwise errors + drift-scaled gates (L x L; tens of MB at L~3k).
+        dth = theta[:, None] - theta[None, :]
+        dth = np.abs(np.arctan2(np.sin(dth), np.cos(dth)))
+        dv2 = ((vx[:, None] - vx[None, :]) ** 2
+               + (vy[:, None] - vy[None, :]) ** 2)
     steps = (np.abs(a[:, None] - a[None, :])
              + np.abs(b[:, None] - b[None, :])).astype(np.float64)
     # Self-tune the per-step drift variance from the data: under the

@@ -467,7 +467,7 @@ def apply_init(graph: PoseGraph, cfg, logger=None) -> PoseGraph:
     import time
     t0 = time.perf_counter()
     pcm = None
-    if graph.dim == 3:
+    if graph.dim in (3, 7):
         from slam_tpu.robust.pcm import pcm_loop_mask
         pcm = pcm_loop_mask(graph)
         s_tr = float(np.sqrt(pcm.s_trans2_per_step))
@@ -477,8 +477,12 @@ def apply_init(graph: PoseGraph, cfg, logger=None) -> PoseGraph:
             # un-gated chordal GNC is the proven cure there.  Tier 3:
             # translation drift itself is huge (raw-odometry INTEL, MIT)
             # -- neither PCM nor chordal GNC can separate inliers; under
-            # "auto" keep the reference's dataset init.
-            if mode == "auto" and s_tr > PCM_TRUST_S_TRANS:
+            # "auto" keep the reference's dataset init.  SE(3) graphs
+            # never take tier 3: the 3D datasets are sphere-class, whose
+            # dataset init is itself the corrupted artifact chordal
+            # exists to fix (results/README.md r1).
+            if mode == "auto" and graph.dim == 3 \
+                    and s_tr > PCM_TRUST_S_TRANS:
                 if logger is not None:
                     logger.log(
                         "init", kind="dataset", pcm_trusted=False,
