@@ -110,6 +110,7 @@ def run_chunked(
 
     warmed: set[int] = set()
     probed = not adaptive
+    warmup_done = False
 
     while done < total:
         remaining = total - done
@@ -137,12 +138,24 @@ def run_chunked(
         if adaptive:
             per_cand = wall / size
             if not probed:
-                probed = True
-                chunk = _pick_chunk(per_cand, deadline_s)
-                if logger is not None:
-                    logger.log("chunk", probe_s=round(wall, 3),
-                               per_candidate_s=round(per_cand, 4),
-                               chunk=chunk, deadline_s=deadline_s)
+                # The FIRST execution on the axon backend pays a one-time
+                # device-load cost on top of the (AOT-excluded) compile --
+                # measured r3 on M3500 method 3: first chunk-8 call 160 s,
+                # steady-state 0.7 s.  Sizing from it pins the whole run
+                # at MIN_CHUNK (27 min end-to-end); size from the SECOND
+                # call instead (the first is treated as warm-up work).
+                if warmup_done:
+                    probed = True
+                    chunk = _pick_chunk(per_cand, deadline_s)
+                    if logger is not None:
+                        logger.log("chunk", probe_s=round(wall, 3),
+                                   per_candidate_s=round(per_cand, 4),
+                                   chunk=chunk, deadline_s=deadline_s)
+                else:
+                    warmup_done = True
+                    if logger is not None:
+                        logger.log("chunk", warmup_s=round(wall, 3),
+                                   note="first-exec device load excluded")
             elif wall > 0.8 * deadline_s and chunk > MIN_CHUNK:
                 chunk = max(MIN_CHUNK, chunk // 2)
                 if logger is not None:

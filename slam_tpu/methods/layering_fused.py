@@ -52,6 +52,11 @@ from slam_tpu.utils.logging import RunLogger
 Array = jax.Array
 
 #: Candidate-evaluation chunk width (see layering.LayeringManager.EVAL_CHUNK).
+#: Width 4 is a measured optimum on the axon chip, not a precaution:
+#: widening to one vmap(12) call (probed r3) ballooned the per-candidate
+#: eval to ~18 s (75x) -- the 12-wide batched Schur LM compiles to a far
+#: worse schedule than three width-4 chunks.  Do not re-raise without
+#: re-measuring end-to-end.
 EVAL_CHUNK = 4
 #: Specs per edge: L_e(0) + 3x L_i + 3x L_e(k) + 3x L_ij, padded to 12.
 NUM_SPECS = 12

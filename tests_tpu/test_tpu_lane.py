@@ -57,22 +57,22 @@ def test_schur_step_matches_dense_on_device(jnp):
     assert abs(float(res_s.cost) - float(res_d.cost)) < 1e-3
 
 
-def test_bench_workload_reaches_golden_basin(jnp):
+# PLAIN-solve anchor for INTEL+50 seed 42 (dcs_consensus/auto_retry OFF):
+# CPU f64 dense reaches 2.969723 -> 1.515895 @50 iters (verify skill).
+# The committed INTEL_50out golden is the RESCUED trajectory (r3), so the
+# plain bench workload gates against this constant, not the golden.
+_PLAIN_INTEL50_COST_AT_50 = 1.515895
+
+
+def test_bench_workload_matches_plain_anchor(jnp):
     """INTEL+50 seed 42, DCS, Schur P=16, f32, 50 iters — the bench.py
-    workload single-problem.  Gate: cost lands in the golden band and the
-    trajectory sits in the golden's basin (golden = f64 CPU, 100 iters)."""
+    workload single-problem.  Gate: the on-device f32 cost matches the
+    f64 plain-solve anchor to ~3 decimals (TPU numerics parity)."""
     from slam_tpu.config import SolverConfig
-    from slam_tpu.eval import metrics
     from slam_tpu.io import g2o
     from slam_tpu.solver.lm import lm_fixed_iters
     from slam_tpu.solver.problem import anchor_first_node, edge_set_from_graph
     from slam_tpu.solver.schur import build_partition
-
-    meta_path = os.path.join(GOLDEN, "meta.json")
-    if not os.path.isfile(meta_path):
-        pytest.skip("golden trajectories not generated")
-    meta = json.load(open(meta_path))["INTEL_50out_seed42"]
-    golden = np.load(os.path.join(GOLDEN, "INTEL_50out_seed42.npy"))
 
     graph = g2o.load_g2o(g2o.find_dataset("INTEL"))
     g = graph.add_random_outliers(50, seed=42).canonical_order()
@@ -84,8 +84,32 @@ def test_bench_workload_reaches_golden_basin(jnp):
                          jnp.ones((edges.num_edges,), jnp.float32),
                          edges, free, cfg, 50, partition=part)
     cost = float(res.cost)
-    assert cost < 1.10 * meta["final_cost"] + 0.05, cost
-    ate = metrics.ate(np.asarray(res.poses, np.float64), golden)
+    assert abs(cost - _PLAIN_INTEL50_COST_AT_50) < 5e-3, cost
+
+
+def test_product_pipeline_rescue_reaches_golden_on_device(jnp):
+    """The full product pipeline (auto init + DCS psi-consensus rescue,
+    f32) on the chip must land in the committed rescued golden's basin
+    (r3: TPU measured ATE ~0.01 vs the f64 golden)."""
+    from slam_tpu.config import RunConfig, SolverConfig
+    from slam_tpu.eval import metrics
+    from slam_tpu.io import g2o
+    from slam_tpu.methods.global_solve import run_global_solve
+    from slam_tpu.utils.logging import RunLogger
+
+    meta_path = os.path.join(GOLDEN, "meta.json")
+    if not os.path.isfile(meta_path):
+        pytest.skip("golden trajectories not generated")
+    golden = np.load(os.path.join(GOLDEN, "INTEL_50out_seed42.npy"))
+
+    graph = g2o.load_g2o(g2o.find_dataset("INTEL"))
+    dirty = graph.add_random_outliers(50, seed=42)
+    out = run_global_solve(
+        dirty,
+        RunConfig(dataset="INTEL", method=1, num_outliers=50, seed=42,
+                  solver=SolverConfig(dtype="float32")),
+        RunLogger(echo=False))
+    ate = metrics.ate(np.asarray(out.poses, np.float64), golden)
     assert ate < 0.25, ate
 
 
