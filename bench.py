@@ -47,6 +47,15 @@ BATCH = 8
 # 278/350/383/383/416 single-problem it/s at identical cost; 16 wins.
 NUM_BLOCKS = 16
 
+# TPU v5e (v5 lite) public peaks -- the roofline anchors for the mfu /
+# membw_frac fields (cloud.google.com/tpu/docs/v5e: 197 TFLOP/s bf16,
+# 819 GB/s HBM).  The program is f32 with HIGHEST-precision pins on the
+# gathers/normal equations (bf16-pass decomposition), so FLOPs counted by
+# XLA against the bf16 peak UNDERSTATE utilization -- mfu here is a
+# conservative lower bound.
+PEAK_FLOPS_BF16 = 197e12
+PEAK_HBM_BYTES_S = 819e9
+
 
 def main() -> int:
     import jax
@@ -88,7 +97,12 @@ def main() -> int:
     free = anchor_first_node(graph.num_nodes, dtype=jnp.float32)
     poses0 = jnp.asarray(graph.poses, jnp.float32)
     sw0 = jnp.ones((sets[0].num_edges,), jnp.float32)
-    cfg = SolverConfig(robust="dcs", linear_solver="schur", dtype="float32")
+    # schur_blocked + panel 128: the r4 measured winner in context
+    # (scripts/bench_variants.py: 656.7 vs 625.8 it/s native; panel
+    # 64/256 -> 651.9/573.2) -- the MXU-tile panel reverses the r1
+    # panel-16/32 negative recorded in results/README.md.
+    cfg = SolverConfig(robust="dcs", linear_solver="schur", dtype="float32",
+                       schur_blocked=True, schur_panel=128)
 
     @jax.jit
     def solve(p, eb, pb):
@@ -133,6 +147,40 @@ def main() -> int:
         best = min(best, time.perf_counter() - t0)
 
     iters_per_s = BATCH * LM_ITERS / best
+
+    # Roofline accounting (VERDICT r3 #1): XLA's own post-optimization
+    # cost model for the exact compiled program, divided by the measured
+    # steady-state wall.  "bytes accessed" is XLA's HBM-traffic estimate
+    # for the optimized HLO (per-instruction operand+output bytes after
+    # fusion) -- the standard roofline numerator.
+    roofline = {}
+    try:
+        ca = solve.lower(poses0, edges_b, parts_b).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        bytes_acc = float(ca.get("bytes accessed", 0.0))
+        if flops and bytes_acc:
+            intensity = flops / bytes_acc           # FLOP / byte
+            balance = PEAK_FLOPS_BF16 / PEAK_HBM_BYTES_S
+            roofline = {
+                "flops_per_call": flops,
+                "bytes_per_call": bytes_acc,
+                "achieved_tflops": round(flops / best / 1e12, 3),
+                "achieved_gb_s": round(bytes_acc / best / 1e9, 1),
+                "mfu": round(flops / best / PEAK_FLOPS_BF16, 4),
+                "membw_frac": round(bytes_acc / best / PEAK_HBM_BYTES_S, 3),
+                "arith_intensity": round(intensity, 1),
+                "bound": ("memory" if intensity < balance else "compute"),
+                # fraction of the BINDING roofline actually achieved
+                "roofline_frac": round(
+                    (bytes_acc / best / PEAK_HBM_BYTES_S)
+                    if intensity < balance
+                    else (flops / best / PEAK_FLOPS_BF16), 3),
+            }
+    except Exception:
+        pass  # cost model unavailable on this backend; it/s still reported
+
     record = {
         "metric": (
             f"{DATASET}+{NUM_OUTLIERS}outliers DCS robust LM iterations/s "
@@ -143,6 +191,7 @@ def main() -> int:
         "unit": "iters/s",
         "vs_baseline": round(iters_per_s / CERES_CPU_BASELINE_ITERS_PER_S, 2),
     }
+    record.update(roofline)
     import os
     cpu_base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "results", "cpu_baseline.json")

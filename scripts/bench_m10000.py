@@ -151,11 +151,12 @@ def run(spec: str) -> dict:
 def main():
     from slam_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
-    skip = set()
-    if "--iters" in sys.argv:
-        skip.add(sys.argv[sys.argv.index("--iters") + 1])
-    for spec in sys.argv[1:]:
-        if spec.startswith("--") or spec in skip:
+    argv = sys.argv[1:]
+    if "--iters" in argv:
+        i = argv.index("--iters")
+        del argv[i:i + 2]  # drop the flag and its value by position
+    for spec in argv:
+        if spec.startswith("--"):
             continue
         print(run(spec), flush=True)
 

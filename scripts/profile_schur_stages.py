@@ -218,6 +218,40 @@ def main():
             return jax.vmap(lambda e, part: one(p, e, part))(eb, pb)
         return run
 
+    # Closed-form MAC counts of each stage's INCREMENT (batch x blocks of
+    # dense ops; 2 flops per MAC), so each stage's delta_ms converts to an
+    # achieved-FLOP/s figure against the v5e peaks (VERDICT r3 #1:
+    # bench.py reports the whole-program roofline via XLA cost_analysis;
+    # this gives the per-stage view).
+    part0 = parts[0]
+    P_, ni_, ns_, ek_, es_, nsk_ = (part0.num_blocks, part0.ni_max,
+                                    part0.ns, part0.ek_max, part0.es_max,
+                                    part0.nsk_max)
+    D_, R_ = 3, 3
+    dni, dns, dnsk = D_ * ni_, D_ * ns_, D_ * nsk_
+    B_ = BATCH
+    stage_macs = {
+        # Asep (es*R, dns) outer + C = Asep^T Asep + b_sep
+        "sep": B_ * (es_ * R_ * dns * (2 * D_)        # Jsep expansion
+                     + dns * dns * es_ * R_           # C
+                     + dns * es_ * R_),               # b_sep
+        # per-block Jint/Jsep expansion + A/F/b normal equations
+        "assemble": B_ * P_ * (
+            ek_ * R_ * (dni + dnsk) * (2 * D_)
+            + dni * dni * ek_ * R_                    # A
+            + dni * dnsk * ek_ * R_                   # F
+            + dni * ek_ * R_),                        # b
+        "chol": B_ * P_ * dni ** 3 // 3,              # interior Cholesky
+        "linv": B_ * P_ * dni ** 3 // 2,              # L^-1 (621-RHS tri)
+        "factor": B_ * P_ * dni * dni * (dnsk + 1),   # G = L^-1 [F|b]
+        # S reduction + separator Cholesky/solve + back-substitution
+        "full": B_ * (P_ * dnsk * dnsk * dni          # G^T G
+                      + P_ * dnsk * dnsk * dns        # S expansion (x2)
+                      + dns ** 3 // 3                 # sep Cholesky
+                      + dns * dns * 2                 # sep solve
+                      + P_ * (dni * dnsk + dni * dni)),  # backsub
+    }
+
     rng = np.random.default_rng(1)
     prev = 0.0
     for stage in ("sep", "assemble", "chol", "linv", "factor", "full"):
@@ -231,8 +265,13 @@ def main():
             _ = jax.device_get(run(p, edges_b, parts_b))
             best = min(best, time.perf_counter() - t0)
         ms = best / LM_ITERS * 1e3
-        print({stage + "_ms": round(ms, 3),
-               "delta_ms": round(ms - prev, 3)}, flush=True)
+        delta = ms - prev
+        gflops = 2 * stage_macs[stage] / 1e9
+        rec = {stage + "_ms": round(ms, 3), "delta_ms": round(delta, 3),
+               "stage_gflop": round(gflops, 2)}
+        if delta > 1e-3:
+            rec["achieved_tflops"] = round(gflops / delta, 2)
+        print(rec, flush=True)
         prev = ms
 
 

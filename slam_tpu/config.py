@@ -80,9 +80,9 @@ class SolverConfig:
     # fit again.  Measured (f64, seeds 0/1/2): INTEL+100 6.17 -> 0.017 m,
     # INTEL+200 8.74 -> 0.018 m, all 256 real loops re-admitted.
     # Triggered when > dcs_consensus_drop_frac of live loops end with
-    # psi < 0.2; the result is kept only if it explains strictly more
-    # loops than the plain solve (healthy runs never trigger or never
-    # regress).
+    # psi < 0.2; healthy runs (final psi near 1 on most loops) never
+    # trigger.  Candidate acceptance is by the ACCEPTANCE rule below --
+    # argmin of the common full objective with a >2% improvement gate.
     # On hard draws the single trim-from-full chain can land in a
     # smaller self-consistent coalition (measured INTEL+200 seed 42: a
     # 90-real + 8-bogus fixed point at ATE 7.4 while the true basin
@@ -130,6 +130,9 @@ class SolverConfig:
     # candidate at M10000-size interiors where XLA's sequential natives
     # dominate the iteration).
     schur_blocked: bool = False
+    # Panel width for the blocked path (16 was the r1 experiment; 128 is
+    # the MXU-native tile -- the r4 knob for re-testing in context).
+    schur_panel: int = 16
 
     # Numerics.  float32 is TPU-native; tests validate f32 vs f64 fixed points.
     dtype: str = "float32"

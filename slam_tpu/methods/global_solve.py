@@ -29,6 +29,31 @@ from slam_tpu.solver.problem import anchor_first_node, edge_set_from_graph
 from slam_tpu.utils.logging import RunLogger
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("cfg", "model"))
+def _chain_solve_batch(poses0, switches0, edges, masks, free, cfg, model,
+                       partition=None):
+    """One psi-consensus round for ALL chains as ONE device program.
+
+    vmaps the full LM solve over the per-chain active-mask axis (the mask
+    is already a program input -- same compiled program the sequential
+    r3 loop re-dispatched per chain) and fuses the per-chain final-psi
+    evaluation into the same dispatch.  Replaces 6 chains x up-to-8
+    rounds of separate host-driven dispatches (r3: 84 s wall on the
+    INTEL+50 product pipeline) with <= rounds batched dispatches.
+    """
+    def one(mask):
+        es = edges._replace(active=mask)
+        r = lm_solve(poses0, switches0, es, free, cfg,
+                     model=model, partition=partition)
+        from slam_tpu.solver.linearize import loop_psi
+        return r, loop_psi(r.poses, edges, model, cfg.dcs_phi)
+
+    return jax.vmap(one)(masks)
+
+
 @dataclasses.dataclass
 class GlobalSolveOutput:
     graph: PoseGraph          # graph with outliers injected
@@ -115,6 +140,16 @@ def run_global_solve(
             "partition", blocks=nblocks, ni_max=partition.ni_max,
             ns=partition.ns, ek_max=partition.ek_max,
         )
+        # r4 measured (scripts/bench_variants.py, INTEL+50 batch 8): the
+        # panel-128 blocked MXU Cholesky beats XLA's native factorization
+        # in context (656.7 vs 625.8 it/s) for small interiors, reversing
+        # the r1 panel-16/32 negative.  Auto-enable on accelerator
+        # backends in the explicit-inverse regime only (large interiors
+        # are unmeasured; CPU keeps the native LAPACK path).
+        dni = model.tangent_dim * partition.ni_max
+        if (not scfg.schur_blocked and dni <= 1024
+                and _jax.default_backend() != "cpu"):
+            scfg = scfg.replace(schur_blocked=True, schur_panel=128)
 
     t0 = time.perf_counter()
     res = lm_solve(
@@ -171,39 +206,53 @@ def run_global_solve(
 
         if (scfg.dcs_consensus
                 and drop_frac > scfg.dcs_consensus_drop_frac):
+            # All chains advance together: each consensus round is ONE
+            # vmapped device program over the chain axis
+            # (_chain_solve_batch) instead of r3's sequential per-chain
+            # dispatch loop (84 s wall on INTEL+50; chains are
+            # embarrassingly parallel and the active mask was already a
+            # program input).  Per-chain mask sequences are unchanged:
+            # chain 0 trims from the full loop set via the plain solve's
+            # psi, chains 1+ start from seeded random half-subsets (the
+            # RANSAC move), every chain thereafter re-admits loops whose
+            # psi clears the cut and freezes at its mask fixed point.
             base_active = np.asarray(edges.active)
             rng = np.random.default_rng(getattr(cfg, "seed", 0))
-            for chain in range(max(1, scfg.dcs_consensus_chains)):
-                if chain == 0:
-                    # trim from the full loop set (the mask evolves from
-                    # the plain solve's psi on the first round)
-                    mask = np.ones_like(base_active)
-                    psi = psi_plain
-                else:
-                    # RANSAC move: seeded random half-subset of the loops
-                    sub = rng.random(base_active.shape) < 0.5
-                    mask = np.where((live_loop > 0) & ~sub, 0.0,
-                                    1.0).astype(base_active.dtype)
-                    psi = None
-                res_c = res
-                for _ in range(scfg.dcs_consensus_rounds):
-                    if psi is not None:
-                        new_mask = np.where(
-                            live_loop > 0,
-                            (psi > cut).astype(base_active.dtype), 1.0)
-                        if res_c is not res and (new_mask == mask).all():
-                            break
-                        mask = new_mask
-                    es = edges._replace(
-                        active=jnp.asarray(base_active * mask, dtype))
-                    res_c = lm_solve(
-                        poses0, switches0, es, free, scfg,
-                        model=model, partition=partition,
-                    )
-                    psi = np.asarray(jax.device_get(
-                        loop_psi(res_c.poses, edges, model, scfg.dcs_phi)))
-                if res_c is not res:
-                    candidates.append((f"consensus{chain}", res_c))
+            C = max(1, scfg.dcs_consensus_chains)
+            first = [np.where(live_loop > 0,
+                              (psi_plain > cut).astype(base_active.dtype),
+                              1.0)]
+            for _ in range(1, C):
+                sub = rng.random(base_active.shape) < 0.5
+                first.append(np.where((live_loop > 0) & ~sub, 0.0,
+                                      1.0).astype(base_active.dtype))
+            cur = np.stack(first)                      # (C, E) chain masks
+            fixed = np.zeros(C, dtype=bool)
+            chain_res: list = [None] * C
+            for _ in range(scfg.dcs_consensus_rounds):
+                res_b, psi_b = _chain_solve_batch(
+                    poses0, switches0, edges,
+                    jnp.asarray(cur * base_active[None], dtype),
+                    free, scfg, model, partition,
+                )
+                psi_b = np.asarray(jax.device_get(psi_b))
+                for c in range(C):
+                    if fixed[c]:
+                        continue  # frozen at its mask fixed point
+                    chain_res[c] = jax.tree.map(
+                        lambda x, c=c: x[c], res_b)
+                    new_mask = np.where(
+                        live_loop > 0,
+                        (psi_b[c] > cut).astype(base_active.dtype), 1.0)
+                    if (new_mask == cur[c]).all():
+                        fixed[c] = True
+                    else:
+                        cur[c] = new_mask
+                if fixed.all():
+                    break
+            for c in range(C):
+                if chain_res[c] is not None:
+                    candidates.append((f"consensus{c}", chain_res[c]))
 
         if scfg.dcs_auto_retry and mean_psi < scfg.dcs_retry_threshold:
             retry_cfg = scfg.replace(

@@ -178,6 +178,12 @@ def build_dist_problem(
 
     ij_p = padded(ij.astype(np.int32))
     meas_p = padded(g.edges_meas)
+    if g.edges_meas.shape[1] == 7:
+        # Identity quaternion on padded SE(3) slots: a zero quaternion
+        # NaNs under normalization even at weight 0 (NaN * 0 == NaN) --
+        # same rule as edge_set_from_graph (problem.py).
+        for k, ids in enumerate(per_block):
+            meas_p[k, len(ids):, 3] = 1.0
     info_p = padded(g.edges_info)
     loop_p = padded((g.edge_type != ODOMETRY_EDGE).astype(np.float64))
     active_p = np.zeros((num_blocks, ek))
@@ -191,7 +197,14 @@ def build_dist_problem(
     inc_ib = np.zeros((num_blocks, ek, ni), np.float32)
     inc_sa = np.zeros((num_blocks, ek, ns_pad), np.float32)
     inc_sb = np.zeros((num_blocks, ek, ns_pad), np.float32)
+    # Padded slots gather node 0 (weight 0, so they contribute nothing):
+    # an all-zero incidence row would gather a ZERO pose, whose quaternion
+    # NaNs the SE(3) residual even at weight 0 (NaN * 0 == NaN).
+    inc_a[:, :, 0] = 1.0
+    inc_b[:, :, 0] = 1.0
     for k, ids in enumerate(per_block):
+        inc_a[k, : len(ids), 0] = 0.0
+        inc_b[k, : len(ids), 0] = 0.0
         for r, e in enumerate(ids):
             a, b = ij[e]
             inc_a[k, r, a] = 1.0

@@ -120,6 +120,7 @@ def _solve_linear(system, edges, lam, cfg: SolverConfig, partition=None):
             dxp = schur.schur_solve(
                 reduced, edges, partition, lam,
                 blocked=getattr(cfg, "schur_blocked", False),
+                panel=getattr(cfg, "schur_panel", 16),
             )
             return (
                 linear.Update(poses=dxp.poses,
@@ -130,6 +131,7 @@ def _solve_linear(system, edges, lam, cfg: SolverConfig, partition=None):
             schur.schur_solve(
                 system, edges, partition, lam,
                 blocked=getattr(cfg, "schur_blocked", False),
+                panel=getattr(cfg, "schur_panel", 16),
             ),
             jnp.int32(0),
         )

@@ -279,6 +279,7 @@ def choose_num_blocks(
     tangent_dim: int = 3,
     residual_dim: int | None = None,
     candidates: tuple[int, ...] = (2, 4, 6, 8, 12, 16, 24, 32),
+    cap: bool = True,
 ) -> int:
     """Pick the Schur block count minimising a tile-padded cost model.
 
@@ -309,7 +310,7 @@ def choose_num_blocks(
         if P < 2 or n // P < 8:
             continue
         ni, ns, ek, es, nsk = partition_stats(ij, n, P)
-        if D >= 6 and ns > n // 8:
+        if cap and D >= 6 and ns > n // 8:
             continue  # SE(3) f32 quality guard (see docstring)
         dni, dns, ekR = D * ni, D * ns, ek * R
         dnsk = D * nsk
@@ -328,9 +329,10 @@ def choose_num_blocks(
             best_p, best_f = P, f
     if best_p is None:
         # all candidates capped out (tiny or pathologically-connected
-        # SE(3) graph): fall back to the uncapped flop-minimal choice.
-        return choose_num_blocks(ij, n, min(tangent_dim, 3), residual_dim,
-                                 candidates)
+        # SE(3) graph): fall back to the uncapped flop-minimal choice,
+        # keeping the true tangent/residual dims in the cost model.
+        return choose_num_blocks(ij, n, tangent_dim, residual_dim,
+                                 candidates, cap=False)
     return best_p
 
 
@@ -454,13 +456,14 @@ def _mm(a, b):
 from functools import partial as _partial
 
 
-@_partial(jax.jit, static_argnames=("blocked",))
+@_partial(jax.jit, static_argnames=("blocked", "panel"))
 def schur_solve(
     system: BlockSystem,
     edges: EdgeSet,
     part: SchurPartition,
     lam: Array,
     blocked: bool | None = None,
+    panel: int = 16,
 ) -> Update:
     """Exact damped-normal-equation solve via two-level Schur elimination.
 
@@ -479,7 +482,7 @@ def schur_solve(
     # exactness-tested for larger interior blocks.
     if blocked is None:
         blocked = False
-    _panel = 16
+    _panel = panel
     _sep_blocked = blocked
     E, R, D = system.Ja.shape
     n = system.Hdiag.shape[0]
@@ -617,12 +620,32 @@ def schur_solve(
         from slam_tpu.solver import blocked_chol as bc
         fac = bc.blocked_cholesky(A_b, panel=_panel)
         Fb_ext = jnp.concatenate([F_b, b_b[..., None]], axis=-1)
-        Yext = bc.cho_solve_blocked(fac, Fb_ext)
-        Y, y = Yext[..., :-1], Yext[..., -1]
-        S = C - expand_S(
-            jnp.einsum("pij,pik->pjk", F_b, Y, precision=_PREC))
-        rhs_s = b_sep - expand_rhs(
-            jnp.einsum("pij,pi->pj", F_b, y, precision=_PREC))
+        use_inv_bc = A_b.shape[-1] <= _INV_MAX_DIM
+        if use_inv_bc:
+            # Same explicit-inverse strategy as the native small-interior
+            # branch, with the panel-blocked forward substitution: one
+            # wide (n_pad-RHS) panel pass builds L^-1, everything after is
+            # MXU matmuls (r4: panel=128 measured faster in context than
+            # the native ops -- see SolverConfig.schur_panel).
+            eye = jnp.broadcast_to(
+                jnp.eye(fac.L.shape[-1], dtype=dtype),
+                fac.L.shape,
+            )
+            Linv_b = bc.solve_lower(fac, eye)[..., : fac.n, : fac.n]
+            G_ext = jnp.einsum("pij,pjk->pik", Linv_b, Fb_ext,
+                               precision=_PREC)
+            G_F, g_b = G_ext[..., :-1], G_ext[..., -1]
+            S = C - expand_S(
+                jnp.einsum("pij,pik->pjk", G_F, G_F, precision=_PREC))
+            rhs_s = b_sep - expand_rhs(
+                jnp.einsum("pij,pi->pj", G_F, g_b, precision=_PREC))
+        else:
+            Yext = bc.cho_solve_blocked(fac, Fb_ext)
+            Y, y = Yext[..., :-1], Yext[..., -1]
+            S = C - expand_S(
+                jnp.einsum("pij,pik->pjk", F_b, Y, precision=_PREC))
+            rhs_s = b_sep - expand_rhs(
+                jnp.einsum("pij,pi->pj", F_b, y, precision=_PREC))
     else:
         chol = jax.vmap(
             lambda A: jax.scipy.linalg.cho_factor(A, lower=True)[0]
@@ -667,7 +690,13 @@ def schur_solve(
 
     x_sep_loc = gather_sep(x_sep)                      # (P, D*nsk)
     if blocked:
-        x_int = y - jnp.einsum("pij,pj->pi", Y, x_sep_loc, precision=_PREC)
+        if use_inv_bc:
+            half = g_b - jnp.einsum("pij,pj->pi", G_F, x_sep_loc,
+                                    precision=_PREC)
+            x_int = jnp.einsum("pji,pj->pi", Linv_b, half, precision=_PREC)
+        else:
+            x_int = y - jnp.einsum("pij,pj->pi", Y, x_sep_loc,
+                                   precision=_PREC)
     else:
         half = g_b - jnp.einsum("pij,pj->pi", G_F, x_sep_loc,
                                 precision=_PREC)
