@@ -33,6 +33,31 @@ from functools import partial as _partial
 
 
 @_partial(jax.jit, static_argnames=("cfg", "model"))
+def _psi_probe(poses, edges, cfg, model):
+    """Jitted per-edge DCS psi at ``poses`` -- the rescue trigger probe.
+    Eager op-by-op evaluation costs seconds of first-call dispatch on the
+    remote backend (measured r4: 5.7 s); one compiled program does not."""
+    from slam_tpu.solver.linearize import loop_psi
+    return loop_psi(poses, edges, model, cfg.dcs_phi)
+
+
+@_partial(jax.jit, static_argnames=("cfg", "model"))
+def _batched_full_cost(poses_b, switches_b, edges, cfg, model):
+    """Common full objective (cost over every live edge) for a stacked
+    batch of candidate solutions, as ONE compiled program.  Per-candidate
+    eager cost_only calls cost ~14 s of first-call dispatch on the remote
+    backend (measured r4)."""
+    from slam_tpu.solver.linearize import cost_only
+
+    def one(p, s):
+        return cost_only(p, s, edges, model=model, robust="dcs",
+                         dcs_phi=cfg.dcs_phi, huber_delta=cfg.huber_delta,
+                         sc_prior_lambda=cfg.sc_prior_lambda)
+
+    return jax.vmap(one)(poses_b, switches_b)
+
+
+@_partial(jax.jit, static_argnames=("cfg", "model"))
 def _chain_solve_batch(poses0, switches0, edges, masks, free, cfg, model,
                        partition=None):
     """One psi-consensus round for ALL chains as ONE device program.
@@ -65,13 +90,16 @@ class GlobalSolveOutput:
 
 
 def pick_linear_solver(graph: PoseGraph, robust: str) -> str:
-    """Size-based default: dense MXU Cholesky is exact and fast up to ~2k
-    nodes; beyond that f32 dense both slows (O(n^3)) and loses accuracy,
-    so the partitioned Schur solver takes over.  Joint SC rides Schur too:
-    the diagonal switch block is exactly pre-eliminated
+    """Size-based default.  Dense MXU Cholesky is exact and simplest for
+    small graphs; from a few hundred nodes the partitioned Schur solver
+    is both exact and measurably faster (INTEL single-problem: dense f32
+    ~37 it/s vs Schur P=16 ~83 it/s -- results/README.md; the r1 2048
+    threshold predated that measurement and left the INTEL/CSAIL/MIT
+    product pipelines on the slow path).  Joint SC rides Schur too: the
+    diagonal switch block is exactly pre-eliminated
     (``linear.eliminate_switches``), so method 2 no longer caps at the
     dense path."""
-    return "dense" if graph.num_nodes <= 2048 else "schur"
+    return "dense" if graph.num_nodes <= 512 else "schur"
 
 
 def run_global_solve(
@@ -152,10 +180,42 @@ def run_global_solve(
             scfg = scfg.replace(schur_blocked=True, schur_panel=128)
 
     t0 = time.perf_counter()
-    res = lm_solve(
-        poses0, switches0, edges, free, scfg,
-        model=model, partition=partition,
-    )
+    # When the psi-consensus rescue is configured, run the PLAIN solve
+    # through the SAME compiled chain-batch program (all lanes at the
+    # full active mask; lane results are identical, lane 0 is taken).
+    # Loading a compiled program onto the remote device costs ~8.5 s per
+    # program even on a persistent-cache hit (measured r4), so sharing
+    # one program between the plain solve and the chain rounds halves
+    # the pipeline's fixed overhead; the redundant lanes cost ~0.3 s of
+    # batched compute.  Healthy runs keep reference-identical behaviour
+    # (lane 0 IS the plain solve; nothing else is consulted unless the
+    # rescue triggers).
+    # Size-gated: the redundant lanes cost C x the plain solve, which is
+    # sub-second at raw-odometry-graph scale (INTEL/CSAIL/MIT -- exactly
+    # the graphs the rescue exists for) but minutes at M3500+/M10000
+    # scale, where the PCM-gated chordal init already prevents the
+    # poisoned basin and a triggered rescue loads its program lazily.
+    # Accelerator-only: on CPU there is no program-load cost to amortize
+    # and the redundant lanes would just multiply the f64 test-suite
+    # compute by C.
+    rescue_ready = (scfg.robust == "dcs" and not scfg.gnc_anneal_iters
+                    and scfg.dcs_consensus and canon.num_nodes <= 2048
+                    and _jax.default_backend() != "cpu")
+    psi_plain_dev = None
+    if rescue_ready:
+        C = max(1, scfg.dcs_consensus_chains)
+        res_b, psi_b = _chain_solve_batch(
+            poses0, switches0, edges,
+            jnp.ones((C, edges.num_edges), dtype), free, scfg, model,
+            partition,
+        )
+        res = jax.tree.map(lambda x: x[0], res_b)
+        psi_plain_dev = psi_b[0]
+    else:
+        res = lm_solve(
+            poses0, switches0, edges, free, scfg,
+            model=model, partition=partition,
+        )
     jax.block_until_ready(res.poses)
 
     # ---- DCS rescue passes (psi-consensus + GNC retry) -----------------
@@ -186,23 +246,17 @@ def run_global_solve(
     # 6.2/10.7/0.018 -- argmin-cost picks the quality winner.
     if (scfg.robust == "dcs" and not scfg.gnc_anneal_iters
             and (scfg.dcs_consensus or scfg.dcs_auto_retry)):
-        from slam_tpu.solver.linearize import cost_only, loop_psi
-
-        def full_cost(r):
-            return float(jax.device_get(cost_only(
-                r.poses, r.switches, edges, model=model, robust="dcs",
-                dcs_phi=scfg.dcs_phi, huber_delta=scfg.huber_delta,
-                sc_prior_lambda=scfg.sc_prior_lambda)))
-
         cut = scfg.dcs_consensus_cut
         live_loop = (np.asarray(edges.active)
                      * np.asarray(edges.is_loop, np.float64))
         n_live = max(float(live_loop.sum()), 1.0)
         psi_plain = np.asarray(jax.device_get(
-            loop_psi(res.poses, edges, model, scfg.dcs_phi)))
+            psi_plain_dev if psi_plain_dev is not None
+            else _psi_probe(res.poses, edges, scfg, model)))
         drop_frac = float((live_loop * (psi_plain < 0.2)).sum() / n_live)
         mean_psi = float((live_loop * psi_plain).sum() / n_live)
         candidates = []  # (tag, result)
+        rounds_run = 0   # consensus rounds executed (batched dispatches)
 
         if (scfg.dcs_consensus
                 and drop_frac > scfg.dcs_consensus_drop_frac):
@@ -228,8 +282,9 @@ def run_global_solve(
                                       1.0).astype(base_active.dtype))
             cur = np.stack(first)                      # (C, E) chain masks
             fixed = np.zeros(C, dtype=bool)
-            chain_res: list = [None] * C
+            res_b = None
             for _ in range(scfg.dcs_consensus_rounds):
+                rounds_run += 1
                 res_b, psi_b = _chain_solve_batch(
                     poses0, switches0, edges,
                     jnp.asarray(cur * base_active[None], dtype),
@@ -239,8 +294,6 @@ def run_global_solve(
                 for c in range(C):
                     if fixed[c]:
                         continue  # frozen at its mask fixed point
-                    chain_res[c] = jax.tree.map(
-                        lambda x, c=c: x[c], res_b)
                     new_mask = np.where(
                         live_loop > 0,
                         (psi_b[c] > cut).astype(base_active.dtype), 1.0)
@@ -250,9 +303,16 @@ def run_global_solve(
                         cur[c] = new_mask
                 if fixed.all():
                     break
+            # A frozen chain keeps solving its frozen mask (the solve is a
+            # pure function, so re-running is bit-identical) -- the LAST
+            # round's batch therefore holds every chain's fixed-point
+            # result, and per-chain slicing happens exactly once here
+            # instead of per round (each slice is a device dispatch on the
+            # remote backend).
             for c in range(C):
-                if chain_res[c] is not None:
-                    candidates.append((f"consensus{c}", chain_res[c]))
+                candidates.append(
+                    (f"consensus{c}", jax.tree.map(lambda x, c=c: x[c],
+                                                   res_b)))
 
         if scfg.dcs_auto_retry and mean_psi < scfg.dcs_retry_threshold:
             retry_cfg = scfg.replace(
@@ -264,8 +324,17 @@ def run_global_solve(
             candidates.append(("gnc", res_g))
 
         if candidates:
-            plain_cost = full_cost(res)
-            scored = [(full_cost(r), tag, r) for tag, r in candidates]
+            # Score plain + every candidate on the COMMON full objective
+            # in ONE batched program (eager per-candidate cost evaluation
+            # cost ~14 s of first-call dispatch on the remote backend).
+            all_res = [res] + [r for _, r in candidates]
+            costs = np.asarray(jax.device_get(_batched_full_cost(
+                jnp.stack([r.poses for r in all_res]),
+                jnp.stack([r.switches for r in all_res]),
+                edges, scfg, model)))
+            plain_cost = float(costs[0])
+            scored = [(float(costs[1 + i]), tag, r)
+                      for i, (tag, r) in enumerate(candidates)]
             best_cost, best_tag, best_res = min(scored, key=lambda x: x[0])
             # Replace the plain solve only on a clear (>2%) objective
             # improvement -- ties within noise keep reference behaviour.
@@ -274,6 +343,7 @@ def run_global_solve(
                 "retry", reason="dcs-rescue",
                 drop_frac=round(drop_frac, 3),
                 mean_psi=round(mean_psi, 3),
+                rounds=rounds_run,
                 candidates=len(candidates),
                 plain_cost=round(plain_cost, 4),
                 best_cost=round(best_cost, 4), best=best_tag,
