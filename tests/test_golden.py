@@ -77,7 +77,7 @@ def test_intel_clean_matches_golden():
 
 
 def _product_gate(dataset, outliers, seed, key, max_ate, max_iterations=30,
-                  chains=2):
+                  chains=2, rounds=None):
     """Golden gate through the PRODUCT pipeline (auto init + DCS rescue)
     at a reduced budget -- the pattern of the M3500 gate, extended to the
     r3 INTEL/CSAIL high-outlier envelope."""
@@ -95,7 +95,9 @@ def _product_gate(dataset, outliers, seed, key, max_ate, max_iterations=30,
                   seed=seed,
                   solver=SolverConfig(dtype="float64",
                                       max_iterations=max_iterations,
-                                      dcs_consensus_chains=chains)),
+                                      dcs_consensus_chains=chains,
+                                      **({"dcs_consensus_rounds": rounds}
+                                         if rounds else {}))),
         RunLogger(echo=False))
     ate = metrics.ate(out.poses, golden)
     assert ate < max_ate, (key, ate)
@@ -103,6 +105,7 @@ def _product_gate(dataset, outliers, seed, key, max_ate, max_iterations=30,
 
 
 @needs_golden
+@pytest.mark.slow
 def test_intel_50out_product_matches_golden():
     """INTEL+50 seed 42: the r1/r2 'healthy' anchor was actually a
     partially-poisoned basin (plain DCS ATE 4.24 m); the r3 rescue takes
@@ -114,6 +117,7 @@ def test_intel_50out_product_matches_golden():
 
 
 @needs_golden
+@pytest.mark.slow
 def test_csail_200out_product_matches_golden():
     """CSAIL at the reference's maximum published outlier count
     (docs/CSAIL/CSAIL_200_ON_Try1.png)."""
@@ -121,6 +125,7 @@ def test_csail_200out_product_matches_golden():
 
 
 @needs_golden
+@pytest.mark.slow
 def test_m3500_dcs_outliers_matches_golden():
     """The round-2 headline gate (BASELINE configs[2] / VERDICT r1 #1):
     M3500 + DCS + 50 injected outliers must converge to the committed

@@ -385,6 +385,7 @@ def intel_slice():
     return sub.add_random_outliers(4, seed=7)
 
 
+@pytest.mark.slow
 def test_fused_layering_matches_host_intel_slice(intel_slice):
     """Method 3 fused == host on real INTEL structure (decisions, layer
     state, poses)."""
@@ -401,6 +402,7 @@ def test_fused_layering_matches_host_intel_slice(intel_slice):
     np.testing.assert_allclose(fused.poses, host.poses, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_fused_mcts_matches_host_intel_slice(intel_slice):
     """Method 4 fused == host on real INTEL structure."""
     from slam_tpu.methods.mcts_fused import FusedMctsManager

@@ -83,6 +83,7 @@ def _solve(dirty, solver, n_out, seed):
     return out, log
 
 
+@pytest.mark.slow
 def test_circle_coalition_rejected_by_full_objective():
     """On the coalition fixture the rescue candidates (GNC retry and any
     coalition chain) must NOT replace the plain solve: with 24 bogus vs
@@ -106,6 +107,7 @@ def test_circle_coalition_rejected_by_full_objective():
     assert ate_rescued <= ate_plain * 1.05 + 0.05, (ate_rescued, ate_plain)
 
 
+@pytest.mark.slow
 def test_intel100_consensus_rescue_matches_golden():
     """The r3 headline gate: INTEL + DCS + 100 injected outliers (the
     reference's own published regime, docs/INTEL/INTEL_100_ON_Try2.png)

@@ -277,6 +277,7 @@ def test_chordal_init_survives_orphan_nodes():
     np.testing.assert_allclose(p[1, :2], [1.0, 0.0], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_dcs_auto_retry_escapes_closure_dropout(tmp_path):
     """DCS's pathological fixed point (psi ~ 0 turns every closure off; LM
     converges to the lower-cost odometry-only minimum -- the M3500/MIT
