@@ -133,6 +133,10 @@ class SolverConfig:
     # Panel width for the blocked path (16 was the r1 experiment; 128 is
     # the MXU-native tile -- the r4 knob for re-testing in context).
     schur_panel: int = 16
+    # Second blocking level (r4): factor each diagonal panel itself with
+    # inner-width blocked Cholesky, so the only batch-serialized native
+    # ops are inner x inner.  0 = off (single-level native panel).
+    schur_panel_inner: int = 0
 
     # Numerics.  float32 is TPU-native; tests validate f32 vs f64 fixed points.
     dtype: str = "float32"

@@ -61,11 +61,35 @@ class BlockedCholesky:
         self.n = n                  # original (unpadded) size
 
 
-def blocked_cholesky(A: Array, panel: int = 16) -> BlockedCholesky:
+def _panel_factor(a: Array, inner: int) -> tuple[Array, Array]:
+    """Cholesky + explicit inverse of one (..., p, p) diagonal panel.
+
+    ``inner > 0`` adds a SECOND blocking level (r4): the panel itself is
+    factored as an inner-blocked Cholesky, and its inverse is built by
+    panel forward substitution against identity -- so the only native
+    (batch-serialized on this toolchain) ops are inner x inner, with
+    everything else MXU matmuls.  Measured motivation: batch-scaling on
+    the bench workload shows wall time LINEAR in batch for the native
+    128x128 panel ops (results/ROUND4.md section 1), i.e. XLA executes
+    them serially across the batch axis.
+    """
+    p = a.shape[-1]
+    if not inner or p <= inner or p % inner:
+        L = _chol_panel(a)
+        return L, _inv_lower_panel(L)
+    fac = blocked_cholesky(a, panel=inner)  # p % inner == 0: no padding
+    eye = jnp.broadcast_to(jnp.eye(p, dtype=a.dtype), a.shape)
+    inv = solve_lower(fac, eye)
+    return fac.L, inv
+
+
+def blocked_cholesky(A: Array, panel: int = 16,
+                     inner: int = 0) -> BlockedCholesky:
     """Right-looking blocked Cholesky of batched SPD matrices (..., n, n).
 
     Pads to a multiple of ``panel`` with an identity block (benign for SPD;
-    padded rows/columns stay zero in solves)."""
+    padded rows/columns stay zero in solves).  ``inner`` optionally blocks
+    the diagonal-panel factorization itself (see ``_panel_factor``)."""
     n = A.shape[-1]
     p = panel
     n_pad = -(-n // p) * p
@@ -86,8 +110,7 @@ def blocked_cholesky(A: Array, panel: int = 16) -> BlockedCholesky:
     col_blocks = []
     inv_diag = []
     for i in range(steps):
-        L11 = _chol_panel(T[..., :p, :p])
-        inv11 = _inv_lower_panel(L11)
+        L11, inv11 = _panel_factor(T[..., :p, :p], inner)
         inv_diag.append(inv11)
         L21 = _mm(T[..., p:, :p], jnp.swapaxes(inv11, -1, -2))
         col = jnp.concatenate(

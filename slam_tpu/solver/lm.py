@@ -121,6 +121,7 @@ def _solve_linear(system, edges, lam, cfg: SolverConfig, partition=None):
                 reduced, edges, partition, lam,
                 blocked=getattr(cfg, "schur_blocked", False),
                 panel=getattr(cfg, "schur_panel", 16),
+                panel_inner=getattr(cfg, "schur_panel_inner", 0),
             )
             return (
                 linear.Update(poses=dxp.poses,
@@ -132,6 +133,7 @@ def _solve_linear(system, edges, lam, cfg: SolverConfig, partition=None):
                 system, edges, partition, lam,
                 blocked=getattr(cfg, "schur_blocked", False),
                 panel=getattr(cfg, "schur_panel", 16),
+                panel_inner=getattr(cfg, "schur_panel_inner", 0),
             ),
             jnp.int32(0),
         )

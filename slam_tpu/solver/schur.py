@@ -456,7 +456,7 @@ def _mm(a, b):
 from functools import partial as _partial
 
 
-@_partial(jax.jit, static_argnames=("blocked", "panel"))
+@_partial(jax.jit, static_argnames=("blocked", "panel", "panel_inner"))
 def schur_solve(
     system: BlockSystem,
     edges: EdgeSet,
@@ -464,6 +464,7 @@ def schur_solve(
     lam: Array,
     blocked: bool | None = None,
     panel: int = 16,
+    panel_inner: int = 0,
 ) -> Update:
     """Exact damped-normal-equation solve via two-level Schur elimination.
 
@@ -618,7 +619,7 @@ def schur_solve(
     # moving the F^T Y contraction onto the MXU as G^T G.
     if blocked:
         from slam_tpu.solver import blocked_chol as bc
-        fac = bc.blocked_cholesky(A_b, panel=_panel)
+        fac = bc.blocked_cholesky(A_b, panel=_panel, inner=panel_inner)
         Fb_ext = jnp.concatenate([F_b, b_b[..., None]], axis=-1)
         use_inv_bc = A_b.shape[-1] <= _INV_MAX_DIM
         if use_inv_bc:
@@ -682,7 +683,7 @@ def schur_solve(
 
     if _sep_blocked:
         from slam_tpu.solver import blocked_chol as bc
-        sfac = bc.blocked_cholesky(S, panel=_panel)
+        sfac = bc.blocked_cholesky(S, panel=_panel, inner=panel_inner)
         x_sep = bc.cho_solve_blocked(sfac, rhs_s)      # (D*ns,)
     else:
         Ls = jax.scipy.linalg.cho_factor(S, lower=True)

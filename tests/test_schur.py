@@ -120,6 +120,50 @@ def test_blocked_cholesky_matches_scipy():
         )
 
 
+def test_blocked_cholesky_inner_panel_matches_scipy():
+    """Two-level blocking (r4 `inner`): recursive panel factorization and
+    the matmul-built panel inverses reproduce LAPACK, including when the
+    panel divides unevenly (inner fallback) and batched."""
+    from slam_tpu.solver import blocked_chol as bc
+
+    rng = np.random.default_rng(1)
+    for n, p, inner, batch in [(64, 32, 8, (4,)), (231, 128, 32, (2,)),
+                               (50, 16, 12, ())]:  # 16 % 12 -> fallback
+        A = rng.normal(size=batch + (n, n))
+        A = A @ np.swapaxes(A, -1, -2) + n * np.eye(n)
+        fac = bc.blocked_cholesky(jnp.asarray(A), panel=p, inner=inner)
+        np.testing.assert_allclose(
+            np.asarray(fac.L)[..., :n, :n], np.linalg.cholesky(A),
+            atol=1e-10,
+        )
+        B = rng.normal(size=batch + (n, 3))
+        np.testing.assert_allclose(
+            np.asarray(bc.cho_solve_blocked(fac, jnp.asarray(B))),
+            np.linalg.solve(A, B), atol=1e-9,
+        )
+
+
+def test_schur_blocked_inner_matches_native(problem):
+    """schur_solve(blocked, panel_inner=8) == schur_solve(native)."""
+    from slam_tpu.solver.linearize import linearize
+    from slam_tpu.solver.models import SE2Model
+    from slam_tpu.solver.schur import schur_solve
+
+    graph, edges, free, poses0, sw0 = problem
+    part = build_partition(graph.edges_ij, graph.num_nodes, 4,
+                           dtype=jnp.float64)
+    system = linearize(poses0, sw0, edges, free, model=SE2Model,
+                       robust="dcs", dcs_phi=0.5, huber_delta=0.01,
+                       sc_prior_lambda=1.0)
+    lam = jnp.asarray(1e-4, jnp.float64)
+    up_n = schur_solve(system, edges, part, lam, blocked=False)
+    up_i = schur_solve(system, edges, part, lam, blocked=True,
+                       panel=16, panel_inner=8)
+    np.testing.assert_allclose(
+        np.asarray(up_i.poses), np.asarray(up_n.poses), atol=1e-11
+    )
+
+
 def test_schur_blocked_matches_native(problem):
     """schur_solve(blocked=True) == schur_solve(blocked=False) == dense."""
     from slam_tpu.solver.schur import schur_solve
