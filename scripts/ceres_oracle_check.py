@@ -45,6 +45,10 @@ CELLS = [
     ("M3500", 0, 0, 1),
     ("M3500", 10, 0, 1),
     ("INTEL", 50, 42, 2),
+    # MIT: the modeling-limit dataset (results/mit_battery.json).  The
+    # oracle IS the reference's algorithm, so its collapse here turns
+    # "any Ceres-DCS shares the trap" from inference into measurement.
+    ("MIT", 0, 0, 1),
 ]
 
 

@@ -39,6 +39,15 @@ class SweepCell:
     wall_s: float
     ate_vs_clean: float
     collapse_score: float
+    # ATE vs an EXTERNAL reference trajectory file (``reference_nodes``),
+    # if one is supplied.  Left None in the published sweeps: Ceres is not
+    # installable here, and since r4 the reference-algorithm comparison
+    # lives in ``results/ceres_oracle.json`` (plain solve vs the in-repo
+    # Ceres-semantics oracle, ``solver/ceres_oracle.py``) rather than in
+    # these rows -- the product pipeline in this harness deliberately
+    # BEATS plain Ceres on high-outlier cells (psi-consensus rescue), so
+    # product-vs-oracle ATE here would conflate "different algorithm" with
+    # "disagreement".
     ate_vs_reference: float | None = None
 
     def row(self) -> dict:
