@@ -38,7 +38,7 @@ def run(spec: str) -> dict:
     from slam_tpu.solver.problem import anchor_first_node, edge_set_from_graph
     from slam_tpu.solver.schur import build_partition
 
-    kind, blocks = spec.split(":")
+    kind, blocks, *pn = spec.split(":")
     blocks = int(blocks)
 
     graph = g2o.load_g2o("data/M10000.g2o")
@@ -74,7 +74,13 @@ def run(spec: str) -> dict:
         # XLA natives (blocked_chol.py; the candidate at this interior
         # size, where XLA's sequential factor/solve dominates).
         if kind == "schurblk":
+            # ``schurblk:P[:panel[:inner]]`` -- r4: panel width and the
+            # two-level inner width (blocked_chol.py::_panel_factor).
             gnc["schur_blocked"] = True
+            if pn:
+                gnc["schur_panel"] = int(pn[0])
+            if len(pn) > 1:
+                gnc["schur_panel_inner"] = int(pn[1])
         cfg = SolverConfig(robust="dcs", linear_solver="schur",
                            dtype="float32", **gnc)
         partition = build_partition(dirty.edges_ij, dirty.num_nodes, blocks,

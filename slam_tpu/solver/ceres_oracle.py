@@ -294,16 +294,22 @@ def ceres_solve(
     succ = unsucc = 0
     termination = "no_convergence"
 
-    Jf = J[:, free_cols].tocsc()
+    def _point_quantities(Jmat, rvec):
+        Jf = Jmat[:, free_cols].tocsc()
+        g = Jf.T @ rvec
+        col_sq = np.asarray(Jf.multiply(Jf).sum(axis=0)).ravel()
+        return Jf, g, np.clip(col_sq, MIN_DIAGONAL, MAX_DIAGONAL), \
+            (Jf.T @ Jf).tocsc()
+
+    # J/g/JtJ only change on ACCEPTED steps; rejected iterations reuse
+    # them with a different radius (as Ceres' evaluator does).
+    Jf, g, col_sq_c, JtJ = _point_quantities(J, r)
     for it in range(max_iterations):
-        g = Jf.T @ r
         if np.max(np.abs(g)) <= GRADIENT_TOLERANCE:
             termination = "convergence"  # gradient tolerance
             break
         # LM diagonal: clamped squared column norms / radius
-        col_sq = np.asarray(Jf.multiply(Jf).sum(axis=0)).ravel()
-        diag = np.clip(col_sq, MIN_DIAGONAL, MAX_DIAGONAL) / radius
-        JtJ = (Jf.T @ Jf).tocsc()
+        diag = col_sq_c / radius
         A = JtJ + sp.diags(diag)
         try:
             h = spla.splu(A.tocsc()).solve(-g)
@@ -325,7 +331,7 @@ def ceres_solve(
             step_norm = np.linalg.norm(h)
             cost_change = cost - cost_new
             x, J, r, cost = x_new, J_new, r_new, cost_new
-            Jf = J[:, free_cols].tocsc()
+            Jf, g, col_sq_c, JtJ = _point_quantities(J, r)
             trace.append(cost)
             radius = min(
                 radius / max(1.0 / 3.0,
