@@ -39,6 +39,10 @@ def run(spec: str) -> dict:
     from slam_tpu.solver.schur import build_partition
 
     kind, blocks, *pn = spec.split(":")
+    if pn and kind != "schurblk":
+        raise ValueError(
+            f"spec {spec!r}: panel/inner fields are only valid for "
+            "schurblk:P[:panel[:inner]]")
     blocks = int(blocks)
 
     graph = g2o.load_g2o("data/M10000.g2o")

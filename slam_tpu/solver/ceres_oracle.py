@@ -177,6 +177,48 @@ def _huber_correct(e, Js, delta):
     return e_c, Js_c, cost
 
 
+def _robust_cost(poses, switches, ij, meas, closure_mask, method,
+                 huber_delta, dcs_phi, sc_lambda) -> float:
+    """Cost-only evaluation: the same arithmetic as ``_evaluate`` (bit
+    identical) without Jacobian/triplet assembly.  Ceres likewise
+    evaluates candidates residuals-only; the full Jacobian is built only
+    at accepted points."""
+    pa = poses[ij[:, 0]]
+    pb = poses[ij[:, 1]]
+    dp = pb[:, :2] - pa[:, :2]
+    ta, tb, mt = pa[:, 2], pb[:, 2], meas[:, 2]
+    ca, sa = np.cos(ta), np.sin(ta)
+    cm, sm = np.cos(mt), np.sin(mt)
+    ux = ca * dp[:, 0] + sa * dp[:, 1]
+    uy = -sa * dp[:, 0] + ca * dp[:, 1]
+    vx, vy = ux - meas[:, 0], uy - meas[:, 1]
+    ex = cm * vx + sm * vy
+    ey = -sm * vx + cm * vy
+    et = np.arcsin(np.sin(tb - ta - mt))
+    e = np.stack([ex, ey, et], axis=1)
+
+    if method == 1:
+        res = e[:, 0] ** 2 + e[:, 1] ** 2
+        psi = np.minimum(1.0, np.sqrt(2.0 * dcs_phi / (dcs_phi + res)))
+        psi = np.where(closure_mask, psi, 1.0)
+        e = psi[:, None] * e
+    elif method == 2:
+        s_full = np.ones(ij.shape[0])
+        s_full[closure_mask] = switches
+        e = s_full[:, None] * e
+
+    s = np.sum(e * e, axis=1)
+    d2 = huber_delta * huber_delta
+    out = s > d2
+    sqrt_s = np.sqrt(np.maximum(s, d2))
+    cost = 0.5 * float(np.sum(np.where(
+        out, 2.0 * huber_delta * sqrt_s - d2, s)))
+    if method == 2:
+        pr = np.sqrt(sc_lambda) * (1.0 - switches)
+        cost += 0.5 * float(np.sum(pr * pr))
+    return cost
+
+
 def _evaluate(poses, switches, ij, meas, closure_mask, method,
               huber_delta, dcs_phi, sc_lambda):
     """One full corrected evaluation: residual rows, Jacobian triplets,
@@ -195,9 +237,10 @@ def _evaluate(poses, switches, ij, meas, closure_mask, method,
         Ja = s_full[:, None, None] * Ja
         Jb = s_full[:, None, None] * Jb
 
-    e_c, (Ja_c, Jb_c, Jss_c), cost = _huber_correct(
-        e, [Ja, Jb, (Jss if Jss is not None else np.zeros((E, 3)))[:, :, None]],
-        huber_delta)
+    Js = [Ja, Jb] + ([Jss[:, :, None]] if Jss is not None else [])
+    e_c, Js_c, cost = _huber_correct(e, Js, huber_delta)
+    Ja_c, Jb_c = Js_c[0], Js_c[1]
+    Jss_c = Js_c[2] if Jss is not None else None
 
     n_poses3 = poses.shape[0] * 3
     n_sw = int(closure_mask.sum()) if method == 2 else 0
@@ -258,8 +301,6 @@ def ceres_solve(
     closure_mask = np.asarray(edge_type) != 0
     n_closures = int(closure_mask.sum())
     switches = np.ones(n_closures) if method == 2 else None
-
-    free_cols = None  # computed after ncols known
 
     def pack(p, sw):
         x = p.ravel()
@@ -322,15 +363,23 @@ def ceres_solve(
         if step_ok:
             x_new = x.copy()
             x_new[3:] += h  # first pose block constant (cols 0..2 dropped)
-            J_new, r_new, cost_new = full_eval(x_new)
+            # Candidate evaluation is cost-only (Ceres evaluates
+            # candidates residuals-only; same arithmetic as full_eval).
+            pc, swc = unpack(x_new)
+            cost_new = _robust_cost(pc, swc, ij, meas, closure_mask,
+                                    method, huber_delta, dcs_phi,
+                                    sc_lambda)
             relative_decrease = (cost - cost_new) / model_cost_change
             step_ok = relative_decrease > MIN_RELATIVE_DECREASE
         if step_ok:
             succ += 1
-            x_norm = np.linalg.norm(x)
             step_norm = np.linalg.norm(h)
             cost_change = cost - cost_new
-            x, J, r, cost = x_new, J_new, r_new, cost_new
+            x, cost = x_new, cost_new
+            J, r, _ = full_eval(x)  # Jacobian only at the accepted point
+            # Ceres evaluates the parameter test at the UPDATED point
+            # (HandleSuccessfulStep sets x before x_norm).
+            x_norm = np.linalg.norm(x)
             Jf, g, col_sq_c, JtJ = _point_quantities(J, r)
             trace.append(cost)
             radius = min(
