@@ -47,6 +47,15 @@ echo "== methods 3/4 on INTEL+50"
 python -m slam_tpu.cli INTEL 50 3 --save-path save/m3 --seed 42
 python -m slam_tpu.cli INTEL 50 4 --save-path save/m4 --seed 42
 
+echo "== Ceres-semantics oracle identity (results/ceres_oracle.json; CPU f64)"
+python scripts/ceres_oracle_check.py
+
+echo "== MIT modeling-limit battery (results/mit_battery.json; CPU f64)"
+python scripts/mit_battery.py
+
+echo "== multi-seed sweep regeneration (results/sweeps/, seeds 0/1/42)"
+python scripts/run_sweeps.py
+
 echo "== golden trajectories (CPU f64; used by tests/test_golden.py)"
 JAX_PLATFORMS=cpu python - <<'PY'
 import jax
