@@ -85,6 +85,15 @@ def run(spec: str) -> dict:
                 gnc["schur_panel"] = int(pn[0])
             if len(pn) > 1:
                 gnc["schur_panel_inner"] = int(pn[1])
+                # _panel_factor silently falls back to single-level when
+                # inner doesn't tile the panel (ADVICE r4): reject here so
+                # a recorded row can't carry a mislabeled inner width.
+                if (gnc["schur_panel_inner"] >= gnc["schur_panel"]
+                        or gnc["schur_panel"] % gnc["schur_panel_inner"]):
+                    raise ValueError(
+                        f"spec {spec!r}: inner must divide panel and be "
+                        "smaller (blocked_chol._panel_factor would "
+                        "silently run single-level)")
         cfg = SolverConfig(robust="dcs", linear_solver="schur",
                            dtype="float32", **gnc)
         partition = build_partition(dirty.edges_ij, dirty.num_nodes, blocks,

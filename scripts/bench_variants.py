@@ -29,6 +29,11 @@ def main() -> int:
     for a in sys.argv[1:]:
         k, v = a.split("=")
         opts[k] = int(v)
+    # Guard against _panel_factor's silent single-level fallback (ADVICE
+    # r4): a row labeled inner=K must actually run two-level.
+    if opts["inner"] and (opts["inner"] >= opts["panel"]
+                          or opts["panel"] % opts["inner"]):
+        raise ValueError("inner must divide panel and be smaller")
 
     import jax
     import jax.numpy as jnp

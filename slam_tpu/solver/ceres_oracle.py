@@ -25,8 +25,11 @@ semantics in pure NumPy/SciPy f64 --
   h = -g``, model cost change ``-(Jh)^T (r + Jh/2)``, acceptance at
   relative decrease 1e-3, radius update ``mu / max(1/3, 1-(2rho-1)^3)``
   on success / ``mu / k, k *= 2`` on failure, and the three stock
-  termination tests (function 1e-6 / gradient 1e-10 / parameter 1e-8),
-  50 iterations max;
+  termination tests (function 1e-6 / gradient 1e-10 / parameter 1e-8) in
+  Ceres' placement -- gradient at the current point, parameter then
+  function on every valid step BEFORE acceptance against the pre-step
+  cost/x-norm, candidate not installed on termination
+  (``trust_region_minimizer.cc``); 50 iterations max;
 * SPARSE_NORMAL_CHOLESKY as a scipy sparse factorization of the
   augmented normal equations (exact, like the reference's).
 
@@ -369,17 +372,25 @@ def ceres_solve(
             cost_new = _robust_cost(pc, swc, ij, meas, closure_mask,
                                     method, huber_delta, dcs_phi,
                                     sc_lambda)
+            # Ceres runs ParameterToleranceReached then
+            # FunctionToleranceReached on EVERY valid step -- including
+            # steps it then rejects -- BEFORE acceptance, against the
+            # pre-step cost and x-norm, and terminates WITHOUT installing
+            # the candidate (trust_region_minimizer.cc; ADVICE r4).
+            step_norm = np.linalg.norm(h)
+            if step_norm <= PARAMETER_TOLERANCE * (
+                    np.linalg.norm(x) + PARAMETER_TOLERANCE):
+                termination = "convergence"  # parameter tolerance
+                break
+            if abs(cost - cost_new) <= FUNCTION_TOLERANCE * cost:
+                termination = "convergence"  # function tolerance
+                break
             relative_decrease = (cost - cost_new) / model_cost_change
             step_ok = relative_decrease > MIN_RELATIVE_DECREASE
         if step_ok:
             succ += 1
-            step_norm = np.linalg.norm(h)
-            cost_change = cost - cost_new
             x, cost = x_new, cost_new
             J, r, _ = full_eval(x)  # Jacobian only at the accepted point
-            # Ceres evaluates the parameter test at the UPDATED point
-            # (HandleSuccessfulStep sets x before x_norm).
-            x_norm = np.linalg.norm(x)
             Jf, g, col_sq_c, JtJ = _point_quantities(J, r)
             trace.append(cost)
             radius = min(
@@ -387,13 +398,6 @@ def ceres_solve(
                              1.0 - (2.0 * relative_decrease - 1.0) ** 3),
                 MAX_RADIUS)
             decrease_factor = 2.0
-            if abs(cost_change) <= FUNCTION_TOLERANCE * cost:
-                termination = "convergence"  # function tolerance
-                break
-            if step_norm <= PARAMETER_TOLERANCE * (
-                    x_norm + PARAMETER_TOLERANCE):
-                termination = "convergence"  # parameter tolerance
-                break
         else:
             unsucc += 1
             radius /= decrease_factor
