@@ -1,47 +1,44 @@
-"""Headline benchmark: robust LM optimizer throughput on real TPU hardware.
+"""Headline benchmark panel: robust LM optimizer throughput on real TPU
+hardware, at three problem scales (VERDICT r4 weak #1 / task 3).
 
-Workload: the reference's headline experiment (INTEL 2D pose graph + 50
-injected outlier loops, DCS phi=0.5, Huber 0.01 -- ``README.md:41-43`` of
-/root/reference) solved with the partitioned-Schur LM loop (exact linear
-solver; see ``slam_tpu/solver/schur.py``), 50 LM iterations, batched over
-``BATCH`` independently-seeded outlier sets -- each with its OWN partition,
-padded to shared shapes and vmapped (the reference's "Try1/Try2"
-Monte-Carlo usage pattern run as one device program).
+Rows (all DCS robust LM, f32, partitioned-Schur exact solves, quality-gated
+before timing, roofline-accounted via XLA's post-optimization cost model):
 
-Metric: aggregate LM iterations/second on one chip, steady state (best of
-3, inputs perturbed per rep, host-transfer barrier -- see timing note
-below).
+* **INTEL+50** (1228 nodes) -- the reference's headline experiment
+  (``README.md:41-43``), batched over 8 independently-seeded outlier sets
+  (the Try1/Try2 Monte-Carlo pattern as one device program).  This is the
+  HEADLINE row (``value``): it is the workload the reference actually ran.
+* **M10000+50** (10k nodes, ``main.cpp:23``) -- single problem, the scale
+  where interiors are MXU-sized (D*ni ~ 3.7k); chunked 5 x 10 iterations
+  (axon ~1-minute single-execution kill), trust-region state threaded.
+* **sphere2500 SE(3)** (2500 nodes, 20 corrupted closures) -- the 3D
+  family, Schur P=4 (measured winner, results/ROUND1.md).
 
-Baselines (two, both reported):
-* ``vs_baseline`` -- Ceres (SPARSE_NORMAL_CHOLESKY, trust-region LM, the
-  reference's exact configuration) on a single CPU host solves
-  INTEL-scale graphs at roughly 10-20 ms per iteration (~3.7k
-  parameters, ~15k Jacobian nnz, AMD-ordered sparse Cholesky); Ceres is
-  not installable in this image (verified r1), so 100 iterations/s --
-  the OPTIMISTIC end of that range -- is the fixed documented estimate,
-  understating rather than inflating the ratio.
-* ``vs_measured_cpu`` -- this repo's own solver (f64, best of
-  dense/schur) on the identical workload pinned to ONE core of THIS
-  machine, measured by ``scripts/bench_cpu_baseline.py`` and committed
-  in ``results/cpu_baseline.json``.  No unmeasured constant.
+Baselines per row:
+* ``vs_baseline`` -- vs the documented 100 it/s single-host Ceres estimate
+  for INTEL-scale graphs (kept fixed & optimistic; see BASELINE.md).
+* ``vs_measured_cpu`` -- vs THIS machine's one-core CPU f64 anchor for the
+  same workload (``scripts/bench_cpu_baseline.py`` ->
+  ``results/cpu_baseline.json``).  For the SE(2) rows the anchor includes
+  the Ceres-semantics oracle (scipy sparse-LU LM -- the reference's exact
+  SPARSE_NORMAL_CHOLESKY algorithm) measured on one core.
 
-Quality gate before timing: the 50-iteration solve must reach the known
-good cost band for this seed (dense f64 reference: 2.9697 -> ~1.51).
+Timing: best of 3, inputs perturbed per rep, ``jax.device_get`` barrier
+(``block_until_ready`` can return early on the axon backend).
 
-Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "iters/s", "vs_baseline": N}
+Prints ONE JSON line: the INTEL headline fields plus a ``panel`` array
+with every row's full record.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 CERES_CPU_BASELINE_ITERS_PER_S = 100.0
 LM_ITERS = 50
-DATASET = "INTEL"
-NUM_OUTLIERS = 50
 BATCH = 8
 # Block-count sweep on INTEL (results/README.md): P=2/4/8/12/16 ->
 # 278/350/383/383/416 single-problem it/s at identical cost; 16 wins.
@@ -49,19 +46,63 @@ NUM_BLOCKS = 16
 
 # TPU v5e (v5 lite) public peaks -- the roofline anchors for the mfu /
 # membw_frac fields (cloud.google.com/tpu/docs/v5e: 197 TFLOP/s bf16,
-# 819 GB/s HBM).  The program is f32 with HIGHEST-precision pins on the
+# 819 GB/s HBM).  Programs are f32 with HIGHEST-precision pins on the
 # gathers/normal equations (bf16-pass decomposition), so FLOPs counted by
 # XLA against the bf16 peak UNDERSTATE utilization -- mfu here is a
 # conservative lower bound.
 PEAK_FLOPS_BF16 = 197e12
 PEAK_HBM_BYTES_S = 819e9
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
 
-def main() -> int:
+
+def _roofline(flops: float, bytes_acc: float, wall: float) -> dict:
+    """Roofline fields from XLA cost-model totals for one timed call."""
+    if not (flops and bytes_acc):
+        return {}
+    intensity = flops / bytes_acc
+    balance = PEAK_FLOPS_BF16 / PEAK_HBM_BYTES_S
+    return {
+        "flops_per_call": flops,
+        "bytes_per_call": bytes_acc,
+        "achieved_tflops": round(flops / wall / 1e12, 3),
+        "achieved_gb_s": round(bytes_acc / wall / 1e9, 1),
+        "mfu": round(flops / wall / PEAK_FLOPS_BF16, 4),
+        "membw_frac": round(bytes_acc / wall / PEAK_HBM_BYTES_S, 3),
+        "arith_intensity": round(intensity, 1),
+        "bound": ("memory" if intensity < balance else "compute"),
+        "roofline_frac": round(
+            (bytes_acc / wall / PEAK_HBM_BYTES_S) if intensity < balance
+            else (flops / wall / PEAK_FLOPS_BF16), 3),
+    }
+
+
+def _cost_analysis(jitted, *args) -> tuple[float, float]:
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed",
+                                                         0.0))
+    except Exception:
+        return 0.0, 0.0
+
+
+def _cpu_anchor(workload: str):
+    path = os.path.join(_REPO, "results", "cpu_baseline.json")
+    if not os.path.exists(path):
+        return None
+    rec = json.load(open(path))
+    if workload in rec:                       # r5 multi-workload schema
+        return rec[workload].get("iters_per_s")
+    if workload == "INTEL":                   # r4 single-workload schema
+        return rec.get("iters_per_s")
+    return None
+
+
+def bench_intel() -> dict:
+    """INTEL+50 x 8 seeds, 50 iters, batched per-seed partitioned Schur."""
     import jax
-
-    from slam_tpu.utils.cache import enable_persistent_cache
-    enable_persistent_cache()
     import jax.numpy as jnp
     import numpy as np
 
@@ -71,9 +112,9 @@ def main() -> int:
     from slam_tpu.solver.problem import anchor_first_node, edge_set_from_graph
     from slam_tpu.solver.schur import build_partition, partition_stats
 
-    graph = g2o.load_g2o(g2o.find_dataset(DATASET))
+    graph = g2o.load_g2o(g2o.find_dataset("INTEL"))
     dirties = [
-        graph.add_random_outliers(NUM_OUTLIERS, seed=s).canonical_order()
+        graph.add_random_outliers(50, seed=s).canonical_order()
         for s in range(BATCH)
     ]
     sets = [
@@ -112,93 +153,234 @@ def main() -> int:
             return r.cost, r.initial_cost
         return jax.vmap(one)(eb, pb)
 
-    # Warm-up / compile.
     costs, costs0 = (np.asarray(x) for x in
                      jax.device_get(solve(poses0, edges_b, parts_b)))
 
     # Quality gate: every seed must converge substantially (dense f64 on
     # seed 42 reaches ~0.5x initial in 50 iters; requiring < 0.6x here).
     if not (np.all(costs0 > 2.0) and np.all(costs < 0.6 * costs0)):
-        print(json.dumps({
-            "metric": (
-                f"{DATASET}+{NUM_OUTLIERS}outliers DCS robust LM iters/s "
-                "(1 chip, batched schur) -- QUALITY GATE FAILED "
-                f"(costs {costs0.round(2).tolist()}->"
-                f"{costs.round(2).tolist()})"
-            ),
-            "value": 0.0,
-            "unit": "iters/s",
-            "vs_baseline": 0.0,
-        }))
-        return 1
+        return {"workload": "INTEL+50 batch8", "gate_failed": True,
+                "costs0": costs0.round(2).tolist(),
+                "costs": costs.round(2).tolist(), "iters_per_s": 0.0}
 
-    # Timing: on the axon remote backend block_until_ready can return early
-    # for repeated identical programs; perturb inputs per rep and force a
-    # host transfer as the barrier.
     rng = np.random.default_rng(1)
     best = float("inf")
     for _ in range(3):
         p = poses0 + jnp.asarray(
-            rng.normal(0, 1e-6, poses0.shape), jnp.float32
-        )
+            rng.normal(0, 1e-6, poses0.shape), jnp.float32)
         t0 = time.perf_counter()
         out = solve(p, edges_b, parts_b)
         _ = jax.device_get(out)
         best = min(best, time.perf_counter() - t0)
 
-    iters_per_s = BATCH * LM_ITERS / best
+    flops, bytes_acc = _cost_analysis(solve, poses0, edges_b, parts_b)
+    row = {
+        "workload": ("INTEL+50outliers DCS robust LM (1 chip, batch 8, "
+                     "per-seed partitioned-Schur exact solve, f32)"),
+        "iters_per_s": round(BATCH * LM_ITERS / best, 1),
+        "lm_iters": LM_ITERS, "batch": BATCH,
+    }
+    row.update(_roofline(flops, bytes_acc, best))
+    anchor = _cpu_anchor("INTEL")
+    if anchor:
+        row["vs_measured_cpu"] = round(row["iters_per_s"] / anchor, 1)
+    return row
 
-    # Roofline accounting (VERDICT r3 #1): XLA's own post-optimization
-    # cost model for the exact compiled program, divided by the measured
-    # steady-state wall.  "bytes accessed" is XLA's HBM-traffic estimate
-    # for the optimized HLO (per-instruction operand+output bytes after
-    # fusion) -- the standard roofline numerator.
-    roofline = {}
-    try:
-        ca = solve.lower(poses0, edges_b, parts_b).compile().cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        flops = float(ca.get("flops", 0.0))
-        bytes_acc = float(ca.get("bytes accessed", 0.0))
-        if flops and bytes_acc:
-            intensity = flops / bytes_acc           # FLOP / byte
-            balance = PEAK_FLOPS_BF16 / PEAK_HBM_BYTES_S
-            roofline = {
-                "flops_per_call": flops,
-                "bytes_per_call": bytes_acc,
-                "achieved_tflops": round(flops / best / 1e12, 3),
-                "achieved_gb_s": round(bytes_acc / best / 1e9, 1),
-                "mfu": round(flops / best / PEAK_FLOPS_BF16, 4),
-                "membw_frac": round(bytes_acc / best / PEAK_HBM_BYTES_S, 3),
-                "arith_intensity": round(intensity, 1),
-                "bound": ("memory" if intensity < balance else "compute"),
-                # fraction of the BINDING roofline actually achieved
-                "roofline_frac": round(
-                    (bytes_acc / best / PEAK_HBM_BYTES_S)
-                    if intensity < balance
-                    else (flops / best / PEAK_FLOPS_BF16), 3),
-            }
-    except Exception:
-        pass  # cost model unavailable on this backend; it/s still reported
+
+def bench_m10000() -> dict:
+    """M10000+50 single problem, Schur P=8 native (the r4 measured winner
+    at D*ni ~ 3.7k: native 12.25 vs blocked-128 10.29 it/s), chunked
+    5 x 10 iterations with trust-region state threaded through the host
+    (the axon worker kills ~1-minute single executions)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from slam_tpu.config import SolverConfig
+    from slam_tpu.io import g2o
+    from slam_tpu.solver.lm import lm_fixed_iters
+    from slam_tpu.solver.problem import anchor_first_node, edge_set_from_graph
+    from slam_tpu.solver.schur import build_partition
+
+    graph = g2o.load_g2o(os.path.join(_REPO, "data", "M10000.g2o"))
+    dirty = graph.add_random_outliers(50, seed=0).canonical_order()
+    edges = edge_set_from_graph(dirty, dtype=jnp.float32, incidence="chain")
+    free = anchor_first_node(dirty.num_nodes, dtype=jnp.float32)
+    poses0 = jnp.asarray(dirty.poses, jnp.float32)
+    sw0 = jnp.ones((edges.num_edges,), jnp.float32)
+    cfg = SolverConfig(robust="dcs", linear_solver="schur", dtype="float32")
+    partition = build_partition(dirty.edges_ij, dirty.num_nodes, 8,
+                                dtype=jnp.float32)
+    CHUNK = 10
+
+    @jax.jit
+    def solve(p, s, e, part, lam0, nu0, it0):
+        r = lm_fixed_iters(p, s, e, free, cfg, CHUNK, partition=part,
+                           lam0=lam0, nu0=nu0, it0=it0)
+        return (r.poses, r.switches, r.cost, r.initial_cost,
+                r.final_lambda, r.final_nu, r.iterations)
+
+    def full(p):
+        s = sw0
+        cost0 = None
+        lam = jnp.asarray(cfg.init_lambda, jnp.float32)
+        nu = jnp.asarray(2.0, jnp.float32)
+        it = jnp.int32(0)
+        for _ in range(LM_ITERS // CHUNK):
+            p, s, cost, c0, lam, nu, it = solve(
+                p, s, edges, partition, lam, nu, it)
+            cost0 = float(c0) if cost0 is None else cost0
+        return float(jax.device_get(cost)), cost0
+
+    cost, cost0 = full(poses0)
+    if not cost < 0.8 * cost0:
+        return {"workload": "M10000+50 single", "gate_failed": True,
+                "cost0": cost0, "cost": cost, "iters_per_s": 0.0}
+
+    rng = np.random.default_rng(1)
+    best = float("inf")
+    for _ in range(3):
+        p = poses0 + jnp.asarray(
+            rng.normal(0, 1e-6, poses0.shape), jnp.float32)
+        t0 = time.perf_counter()
+        full(p)
+        best = min(best, time.perf_counter() - t0)
+
+    flops, bytes_acc = _cost_analysis(
+        solve, poses0, sw0, edges, partition,
+        jnp.asarray(cfg.init_lambda, jnp.float32),
+        jnp.asarray(2.0, jnp.float32), jnp.int32(0))
+    n_chunks = LM_ITERS // CHUNK
+    row = {
+        "workload": ("M10000+50outliers DCS robust LM (1 chip, single "
+                     "problem, Schur P=8 exact solve, f32, chunked "
+                     f"{n_chunks}x{CHUNK})"),
+        "iters_per_s": round(LM_ITERS / best, 2),
+        "lm_iters": LM_ITERS, "batch": 1,
+        "cost0": round(cost0, 4), "cost": round(cost, 4),
+    }
+    row.update(_roofline(flops * n_chunks, bytes_acc * n_chunks, best))
+    anchor = _cpu_anchor("M10000")
+    if anchor:
+        row["vs_measured_cpu"] = round(row["iters_per_s"] / anchor, 1)
+    return row
+
+
+def bench_sphere() -> dict:
+    """sphere2500 SE(3), 20 corrupted closures, Schur P=4 (measured
+    winner), 30 iterations.  Landscape caveat on the reached cost:
+    results/README.md (structured corruption has a strong odometry-only
+    stationary point); the gate here is cost decrease, the quality rows
+    live in results/sweeps/sphere2500."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from slam_tpu.config import SolverConfig
+    from slam_tpu.io import g2o
+    from slam_tpu.solver.lm import lm_fixed_iters
+    from slam_tpu.solver.models import SE3Model
+    from slam_tpu.solver.problem import anchor_first_node, edge_set_from_graph
+    from slam_tpu.solver.schur import build_partition
+
+    ITERS = 30
+    g = g2o.load_g2o(os.path.join(_REPO, "data", "sphere2500.g2o"))
+    g = g.canonical_order()
+    meas = g.edges_meas.copy()
+    rng0 = np.random.default_rng(5)
+    loop_idx = np.where(g.edge_type != 0)[0]
+    bad = rng0.choice(loop_idx, size=20, replace=False)
+    meas[bad, :3] += rng0.normal(0, 20.0, (20, 3))
+    etype = g.edge_type.copy()
+    etype[bad] = 2
+    dirty = dataclasses.replace(g, edges_meas=meas, edge_type=etype)
+
+    edges = edge_set_from_graph(dirty, dtype=jnp.float32, incidence="chain")
+    free = anchor_first_node(dirty.num_nodes, dtype=jnp.float32)
+    poses0 = jnp.asarray(dirty.poses, jnp.float32)
+    sw0 = jnp.ones((edges.num_edges,), jnp.float32)
+    cfg = SolverConfig(robust="dcs", linear_solver="schur", dtype="float32")
+    partition = build_partition(dirty.edges_ij, dirty.num_nodes, 4,
+                                dtype=jnp.float32)
+
+    @jax.jit
+    def solve(p, e, part):
+        r = lm_fixed_iters(p, sw0, e, free, cfg, ITERS,
+                           partition=part, model=SE3Model)
+        return r.cost, r.initial_cost
+
+    cost, cost0 = (float(x) for x in
+                   jax.device_get(solve(poses0, edges, partition)))
+    if not cost < cost0:
+        return {"workload": "sphere2500 SE3", "gate_failed": True,
+                "cost0": cost0, "cost": cost, "iters_per_s": 0.0}
+
+    rng = np.random.default_rng(1)
+    best = float("inf")
+    for _ in range(3):
+        p = poses0.at[:, :3].add(jnp.asarray(
+            rng.normal(0, 1e-6, (poses0.shape[0], 3)), jnp.float32))
+        t0 = time.perf_counter()
+        out = solve(p, edges, partition)
+        _ = jax.device_get(out)
+        best = min(best, time.perf_counter() - t0)
+
+    flops, bytes_acc = _cost_analysis(solve, poses0, edges, partition)
+    row = {
+        "workload": ("sphere2500 SE(3) +20 corrupted closures DCS robust "
+                     "LM (1 chip, Schur P=4 exact solve, f32)"),
+        "iters_per_s": round(ITERS / best, 2),
+        "lm_iters": ITERS, "batch": 1,
+        "cost0": round(cost0, 4), "cost": round(cost, 4),
+    }
+    row.update(_roofline(flops, bytes_acc, best))
+    anchor = _cpu_anchor("sphere2500")
+    if anchor:
+        row["vs_measured_cpu"] = round(row["iters_per_s"] / anchor, 1)
+    return row
+
+
+def main() -> int:
+    from slam_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
+    intel = bench_intel()
+    panel = [intel]
+    for fn in (bench_m10000, bench_sphere):
+        try:
+            panel.append(fn())
+        except Exception as e:  # a panel row must not kill the headline
+            panel.append({"workload": fn.__name__, "error": repr(e),
+                          "iters_per_s": 0.0})
+
+    if intel.get("gate_failed"):
+        print(json.dumps({
+            "metric": ("INTEL+50outliers DCS robust LM iters/s "
+                       "(1 chip, batched schur) -- QUALITY GATE FAILED"),
+            "value": 0.0, "unit": "iters/s", "vs_baseline": 0.0,
+            "panel": panel,
+        }))
+        return 1
 
     record = {
         "metric": (
-            f"{DATASET}+{NUM_OUTLIERS}outliers DCS robust LM iterations/s "
+            "INTEL+50outliers DCS robust LM iterations/s "
             f"(1 chip, batch {BATCH}, per-seed partitioned-Schur exact "
             "solve, f32)"
         ),
-        "value": round(iters_per_s, 1),
+        "value": intel["iters_per_s"],
         "unit": "iters/s",
-        "vs_baseline": round(iters_per_s / CERES_CPU_BASELINE_ITERS_PER_S, 2),
+        "vs_baseline": round(
+            intel["iters_per_s"] / CERES_CPU_BASELINE_ITERS_PER_S, 2),
     }
-    record.update(roofline)
-    import os
-    cpu_base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "results", "cpu_baseline.json")
-    if os.path.exists(cpu_base):
-        measured = json.load(open(cpu_base)).get("iters_per_s")
-        if measured:
-            record["vs_measured_cpu"] = round(iters_per_s / measured, 1)
+    for k in ("flops_per_call", "bytes_per_call", "achieved_tflops",
+              "achieved_gb_s", "mfu", "membw_frac", "arith_intensity",
+              "bound", "roofline_frac", "vs_measured_cpu"):
+        if k in intel:
+            record[k] = intel[k]
+    record["panel"] = panel
     print(json.dumps(record))
     return 0
 

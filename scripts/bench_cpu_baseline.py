@@ -86,15 +86,110 @@ def main() -> None:
     dense_ips, dense_cost = measure("dense", None)
     schur_ips, schur_cost = measure("schur", part)
 
+    def oracle_anchor(dataset, outliers, seed, iters):
+        """The Ceres-semantics oracle (scipy sparse-LU trust-region LM --
+        the reference's exact SPARSE_NORMAL_CHOLESKY algorithm) measured
+        on this machine: the most faithful 'single-host Ceres CPU'
+        stand-in available (r5, VERDICT task 3)."""
+        from slam_tpu.solver import ceres_oracle as co
+
+        g = g2o.load_g2o(g2o.find_dataset(dataset))
+        if outliers:
+            g = g.add_random_outliers(outliers, seed=seed)
+        g = g.canonical_order()
+        best = float("inf")
+        done = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rep = co.ceres_solve(
+                np.asarray(g.poses), np.asarray(g.edges_ij),
+                np.asarray(g.edges_meas), np.asarray(g.edge_type),
+                method=1, max_iterations=iters)
+            wall = time.perf_counter() - t0
+            if rep.iterations / wall < best or done is None:
+                pass
+            best = min(best, wall / max(1, rep.iterations))
+            done = rep.iterations
+        return round(1.0 / best, 2), done
+
+    intel_oracle_ips, _ = oracle_anchor("INTEL", 50, 42, LM_ITERS)
+    m10k_oracle_ips, m10k_iters = oracle_anchor("M10000", 50, 0, 10)
+
+    def sphere_anchor():
+        """Our solver, f64 Schur P=16, one core -- sphere2500 SE(3) has no
+        oracle (the reference's residuals are SE(2)-only)."""
+        import dataclasses
+
+        from slam_tpu.solver.models import SE3Model
+
+        g = g2o.load_g2o("data/sphere2500.g2o").canonical_order()
+        meas = g.edges_meas.copy()
+        rng0 = np.random.default_rng(5)
+        loop_idx = np.where(g.edge_type != 0)[0]
+        bad = rng0.choice(loop_idx, size=20, replace=False)
+        meas[bad, :3] += rng0.normal(0, 20.0, (20, 3))
+        etype = g.edge_type.copy()
+        etype[bad] = 2
+        dirty = dataclasses.replace(g, edges_meas=meas, edge_type=etype)
+        edges_s = edge_set_from_graph(dirty, dtype=jnp.float64)
+        free_s = anchor_first_node(dirty.num_nodes, dtype=jnp.float64)
+        p0 = jnp.asarray(dirty.poses, jnp.float64)
+        sw = jnp.ones((edges_s.num_edges,), jnp.float64)
+        part_s = build_partition(np.asarray(edges_s.ij), dirty.num_nodes,
+                                 16, dtype=jnp.float64)
+        cfg = SolverConfig(robust="dcs", linear_solver="schur",
+                           dtype="float64", use_pallas="off")
+        ITERS = 10
+
+        def run(p):
+            return lm_fixed_iters(p, sw, edges_s, free_s, cfg, ITERS,
+                                  partition=part_s, model=SE3Model)
+
+        r = run(p0)
+        jax.block_until_ready(r.poses)
+        assert float(r.cost) < float(r.initial_cost)
+        best = float("inf")
+        for _ in range(2):
+            p = p0.at[:, :3].add(
+                jnp.asarray(rng.normal(0, 1e-6, (p0.shape[0], 3))))
+            t0 = time.perf_counter()
+            out = run(p)
+            _ = jax.device_get(out.poses)
+            best = min(best, time.perf_counter() - t0)
+        return round(ITERS / best, 2)
+
+    sphere_ips = sphere_anchor()
+
+    pinning = ("XLA single-thread flags; run under taskset -c 0 for "
+               "the committed number")
     rec = {
+        # Back-compat top-level keys = the INTEL anchor (r4 schema).
         "workload": "INTEL+50outliers seed42, DCS LM, f64, 1 CPU core",
-        "pinning": "XLA single-thread flags; run under taskset -c 0 for "
-                   "the committed number",
+        "pinning": pinning,
         "lm_iters": LM_ITERS,
         "dense_iters_per_s": dense_ips,
         "schur_p16_iters_per_s": schur_ips,
         "iters_per_s": max(dense_ips, schur_ips),
         "final_cost": {"dense": dense_cost, "schur": schur_cost},
+        "oracle_iters_per_s": intel_oracle_ips,
+        # r5 multi-workload schema (consumed by bench.py's panel rows).
+        "INTEL": {
+            "iters_per_s": max(dense_ips, schur_ips),
+            "oracle_iters_per_s": intel_oracle_ips,
+            "note": "own solver f64 (best of dense/schur) and the "
+                    "Ceres-semantics oracle, both 1 core",
+        },
+        "M10000": {
+            "iters_per_s": m10k_oracle_ips,
+            "engine": "ceres_oracle (scipy sparse-LU LM, the reference's "
+                      "exact algorithm), 1 core",
+            "iters_measured": m10k_iters,
+        },
+        "sphere2500": {
+            "iters_per_s": sphere_ips,
+            "engine": "own solver f64 Schur P=16, 1 core (no oracle: "
+                      "reference residuals are SE(2)-only)",
+        },
     }
     with open(OUT, "w") as f:
         json.dump(rec, f, indent=2)

@@ -137,6 +137,12 @@ class SolverConfig:
     # inner-width blocked Cholesky, so the only batch-serialized native
     # ops are inner x inner.  0 = off (single-level native panel).
     schur_panel_inner: int = 0
+    # r5: replace the blocked path's diagonal-panel factor+inverse natives
+    # with the batch-on-lanes Pallas kernel (ops/pallas_chol.py) -- the
+    # measured shot at the batch-serialized panel ops.  Requires
+    # schur_blocked; ignored for tiny batches / non-f32 (see
+    # blocked_chol._panel_factor).
+    schur_pallas_micro: bool = False
 
     # Numerics.  float32 is TPU-native; tests validate f32 vs f64 fixed points.
     dtype: str = "float32"

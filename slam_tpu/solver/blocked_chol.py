@@ -61,7 +61,8 @@ class BlockedCholesky:
         self.n = n                  # original (unpadded) size
 
 
-def _panel_factor(a: Array, inner: int) -> tuple[Array, Array]:
+def _panel_factor(a: Array, inner: int,
+                  pallas_micro: bool = False) -> tuple[Array, Array]:
     """Cholesky + explicit inverse of one (..., p, p) diagonal panel.
 
     ``inner > 0`` adds a SECOND blocking level (r4): the panel itself is
@@ -72,8 +73,24 @@ def _panel_factor(a: Array, inner: int) -> tuple[Array, Array]:
     the bench workload shows wall time LINEAR in batch for the native
     128x128 panel ops (results/ROUND4.md section 1), i.e. XLA executes
     them serially across the batch axis.
+
+    ``pallas_micro`` (r5) replaces the two natives with the batch-on-lanes
+    Pallas kernel (``ops/pallas_chol.py``) -- one kernel pass factors and
+    inverts EVERY matrix in the leading batch simultaneously, lanes =
+    batch.  Auto-skipped for tiny batches (< 8: most lanes would idle;
+    the separator factorization is the M=1 case) and non-f32 dtypes.
     """
     p = a.shape[-1]
+    lead = 1
+    for d in a.shape[:-2]:
+        lead *= d
+    if (pallas_micro and lead >= 8 and a.dtype == jnp.float32
+            and not inner):
+        from slam_tpu.ops.pallas_chol import micro_chol_inv
+
+        L, inv = micro_chol_inv(a.reshape((lead, p, p)),
+                                interpret=jax.default_backend() == "cpu")
+        return L.reshape(a.shape), inv.reshape(a.shape)
     if not inner or p <= inner or p % inner:
         L = _chol_panel(a)
         return L, _inv_lower_panel(L)
@@ -84,12 +101,15 @@ def _panel_factor(a: Array, inner: int) -> tuple[Array, Array]:
 
 
 def blocked_cholesky(A: Array, panel: int = 16,
-                     inner: int = 0) -> BlockedCholesky:
+                     inner: int = 0,
+                     pallas_micro: bool = False) -> BlockedCholesky:
     """Right-looking blocked Cholesky of batched SPD matrices (..., n, n).
 
     Pads to a multiple of ``panel`` with an identity block (benign for SPD;
     padded rows/columns stay zero in solves).  ``inner`` optionally blocks
-    the diagonal-panel factorization itself (see ``_panel_factor``)."""
+    the diagonal-panel factorization itself; ``pallas_micro`` routes the
+    panel factor+inverse through the batch-on-lanes Pallas kernel (see
+    ``_panel_factor``)."""
     n = A.shape[-1]
     p = panel
     n_pad = -(-n // p) * p
@@ -110,7 +130,7 @@ def blocked_cholesky(A: Array, panel: int = 16,
     col_blocks = []
     inv_diag = []
     for i in range(steps):
-        L11, inv11 = _panel_factor(T[..., :p, :p], inner)
+        L11, inv11 = _panel_factor(T[..., :p, :p], inner, pallas_micro)
         inv_diag.append(inv11)
         L21 = _mm(T[..., p:, :p], jnp.swapaxes(inv11, -1, -2))
         col = jnp.concatenate(

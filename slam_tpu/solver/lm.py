@@ -122,6 +122,7 @@ def _solve_linear(system, edges, lam, cfg: SolverConfig, partition=None):
                 blocked=getattr(cfg, "schur_blocked", False),
                 panel=getattr(cfg, "schur_panel", 16),
                 panel_inner=getattr(cfg, "schur_panel_inner", 0),
+                pallas_micro=getattr(cfg, "schur_pallas_micro", False),
             )
             return (
                 linear.Update(poses=dxp.poses,
@@ -134,6 +135,7 @@ def _solve_linear(system, edges, lam, cfg: SolverConfig, partition=None):
                 blocked=getattr(cfg, "schur_blocked", False),
                 panel=getattr(cfg, "schur_panel", 16),
                 panel_inner=getattr(cfg, "schur_panel_inner", 0),
+                pallas_micro=getattr(cfg, "schur_pallas_micro", False),
             ),
             jnp.int32(0),
         )

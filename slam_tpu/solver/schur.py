@@ -456,7 +456,8 @@ def _mm(a, b):
 from functools import partial as _partial
 
 
-@_partial(jax.jit, static_argnames=("blocked", "panel", "panel_inner"))
+@_partial(jax.jit, static_argnames=("blocked", "panel", "panel_inner",
+                                    "pallas_micro"))
 def schur_solve(
     system: BlockSystem,
     edges: EdgeSet,
@@ -465,6 +466,7 @@ def schur_solve(
     blocked: bool | None = None,
     panel: int = 16,
     panel_inner: int = 0,
+    pallas_micro: bool = False,
 ) -> Update:
     """Exact damped-normal-equation solve via two-level Schur elimination.
 
@@ -619,7 +621,8 @@ def schur_solve(
     # moving the F^T Y contraction onto the MXU as G^T G.
     if blocked:
         from slam_tpu.solver import blocked_chol as bc
-        fac = bc.blocked_cholesky(A_b, panel=_panel, inner=panel_inner)
+        fac = bc.blocked_cholesky(A_b, panel=_panel, inner=panel_inner,
+                                  pallas_micro=pallas_micro)
         Fb_ext = jnp.concatenate([F_b, b_b[..., None]], axis=-1)
         use_inv_bc = A_b.shape[-1] <= _INV_MAX_DIM
         if use_inv_bc:
