@@ -77,10 +77,35 @@ Notes:
 SEEDS = [0, 1, 42]
 
 
+def combine() -> None:
+    """Rebuild results/sweeps/all.md from the saved per-dataset
+    sweep.json files (so datasets can be run piecemeal)."""
+    import json
+
+    from slam_tpu.eval import harness
+
+    cells = []
+    for ds in GRID:
+        path = os.path.join(SWEEPS, ds, "sweep.json")
+        if not os.path.exists(path):
+            print(f"combine: missing {path}, skipped")
+            continue
+        with open(path) as f:
+            cells.extend(harness.SweepCell(**row) for row in json.load(f))
+    with open(os.path.join(SWEEPS, "all.md"), "w") as f:
+        f.write(harness.format_table(cells))
+        f.write(FOOTNOTES)
+    print("all.md rebuilt from", len(cells), "cells")
+
+
 def main(only: list[str]) -> None:
     from slam_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
+
+    if only == ["--combine"]:
+        combine()
+        return
 
     from slam_tpu.config import SolverConfig
     from slam_tpu.eval import harness
