@@ -25,7 +25,8 @@ LM_ITERS = 50
 
 
 def main() -> int:
-    opts = dict(batch=8, blocks=16, blocked=0, panel=16, inner=0, cuts=0)
+    opts = dict(batch=8, blocks=16, blocked=0, panel=16, inner=0, cuts=0,
+                pallas=0)
     for a in sys.argv[1:]:
         k, v = a.split("=")
         opts[k] = int(v)
@@ -80,7 +81,8 @@ def main() -> int:
     cfg = SolverConfig(robust="dcs", linear_solver="schur", dtype="float32",
                        schur_blocked=bool(opts["blocked"]),
                        schur_panel=opts["panel"],
-                       schur_panel_inner=opts["inner"])
+                       schur_panel_inner=opts["inner"],
+                       schur_pallas_micro=bool(opts["pallas"]))
 
     @jax.jit
     def solve(p, eb, pb):

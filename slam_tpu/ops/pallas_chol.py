@@ -50,11 +50,15 @@ def _kernel(a_ref, l_ref, inv_ref):
     rows2 = jax.lax.broadcasted_iota(jnp.int32, A0.shape[::2], 0)  # (p, M)
 
     def chol_body(j, carry):
+        # Mask-reduce formulation throughout: Mosaic TC has no
+        # dynamic_slice lowering, and masked whole-tile reductions keep
+        # every trip in plain VPU ops.
         A, L = carry
         # Column j across the whole batch: (p, M).
-        colj = jax.lax.dynamic_slice_in_dim(A, j, 1, axis=1)[:, 0, :]
-        # Pivot row of that column: (1, M) -> rsqrt.
-        djj = jax.lax.dynamic_slice_in_dim(colj, j, 1, axis=0)
+        colj = jnp.sum(jnp.where(cols3 == j, A, 0.0), axis=1)
+        # Pivot entry of that column: (1, M) -> rsqrt.
+        djj = jnp.sum(jnp.where(rows2 == j, colj, 0.0), axis=0,
+                      keepdims=True)
         inv_sqrt = jax.lax.rsqrt(djj)               # (1, M)
         lcol = jnp.where(rows2 >= j, colj * inv_sqrt, 0.0)   # (p, M)
         L = jnp.where(cols3 == j, lcol[:, None, :], L)
@@ -68,12 +72,13 @@ def _kernel(a_ref, l_ref, inv_ref):
     l_ref[:] = L
 
     def inv_body(i, X):
-        # Row i of L, strictly-lower part: (p, M) over columns.
-        Lrow = jax.lax.dynamic_slice_in_dim(L, i, 1, axis=0)[0]   # (p, M)
+        # Row i of L over columns, as a (p, M) tile (mask-reduce).
+        Lrow = jnp.sum(jnp.where(rows3 == i, L, 0.0), axis=0)     # (p, M)
         Lrow_strict = jnp.where(rows2 < i, Lrow, 0.0)
         # acc[c, m] = sum_k Lrow_strict[k, m] * X[k, c, m]
         acc = jnp.sum(Lrow_strict[:, None, :] * X, axis=0)        # (p, M)
-        Lii = jax.lax.dynamic_slice_in_dim(Lrow, i, 1, axis=0)    # (1, M)
+        Lii = jnp.sum(jnp.where(rows2 == i, Lrow, 0.0), axis=0,
+                      keepdims=True)                              # (1, M)
         e_i = jnp.where(rows2 == i, 1.0, 0.0)                     # (p, M)
         xrow = (e_i - acc) / Lii
         X = jnp.where(rows3 == i, xrow[None, :, :], X)
