@@ -58,15 +58,29 @@ def measure(name, graph, robust, model, iters, blocks):
                        dtype="float32")
     part = build_partition(g.edges_ij, g.num_nodes, blocks, dtype=dtype)
 
+    REPS = 100
+
     @jax.jit
     def lin(p, s):
-        sys_ = linearize(p, s, edges, free, model=model, robust=robust,
-                         dcs_phi=cfg.dcs_phi, huber_delta=cfg.huber_delta,
-                         sc_prior_lambda=cfg.sc_prior_lambda,
-                         use_pallas=False)
-        # Materialise every output so XLA cannot drop work.
-        return (jnp.sum(sys_.g) + jnp.sum(sys_.Ja) + jnp.sum(sys_.Jb)
-                + jnp.sum(sys_.r) + jnp.sum(sys_.Hss))
+        # One device call per standalone dispatch costs ~25-30 ms on the
+        # axon backend (measured: a single linearize "took" 14x a full LM
+        # iteration CONTAINING it) -- amortise over an in-program scan of
+        # REPS linearizations at per-step-perturbed inputs (no CSE).
+        def body(acc, i):
+            pp = p + i * jnp.asarray(1e-12, p.dtype)
+            sys_ = linearize(pp, s, edges, free, model=model,
+                             robust=robust, dcs_phi=cfg.dcs_phi,
+                             huber_delta=cfg.huber_delta,
+                             sc_prior_lambda=cfg.sc_prior_lambda,
+                             use_pallas=False)
+            # Materialise every output so XLA cannot drop work.
+            return acc + (jnp.sum(sys_.g) + jnp.sum(sys_.Ja)
+                          + jnp.sum(sys_.Jb) + jnp.sum(sys_.r)
+                          + jnp.sum(sys_.Hss)), None
+        out, _ = jax.lax.scan(
+            body, jnp.asarray(0.0, p.dtype),
+            jnp.arange(REPS, dtype=p.dtype))
+        return out
 
     @jax.jit
     def full(p, s):
@@ -83,7 +97,7 @@ def measure(name, graph, robust, model, iters, blocks):
         return poses0 + jnp.asarray(
             rng.normal(0, 1e-6, poses0.shape), dtype)
 
-    lin_s = min(_time(lin, perturbed(), sw0) for _ in range(2))
+    lin_s = min(_time(lin, perturbed(), sw0) for _ in range(2)) / REPS
     full_s = min(_time(full, perturbed(), sw0) for _ in range(2))
     per_iter = full_s / iters
     row = dict(workload=name, robust=robust,

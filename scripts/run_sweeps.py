@@ -95,6 +95,10 @@ def combine() -> None:
     with open(os.path.join(SWEEPS, "all.md"), "w") as f:
         f.write(harness.format_table(cells))
         f.write(FOOTNOTES)
+        sel = os.path.join(SWEEPS, "selections.md")
+        if os.path.exists(sel):
+            f.write("\n")
+            f.write(open(sel).read())
     print("all.md rebuilt from", len(cells), "cells")
 
 
@@ -134,9 +138,7 @@ def main(only: list[str]) -> None:
         all_cells.extend(cells)
 
     if not only:  # full run refreshes the combined table
-        with open(os.path.join(SWEEPS, "all.md"), "w") as f:
-            f.write(harness.format_table(all_cells))
-            f.write(FOOTNOTES)
+        combine()
     print("sweeps regenerated")
 
 
