@@ -10,9 +10,14 @@ INTEL+50 workload, pinned to one core.
 Writes ``results/cpu_baseline.json`` (consumed by bench.py for the
 ``vs_measured_cpu`` field) and prints the record.
 
-Run pinned:  taskset -c 0 python scripts/bench_cpu_baseline.py
-(The script also forces single-threaded XLA CPU so an unpinned run is
-close; the committed number should come from a taskset run.)
+Run:  python scripts/bench_cpu_baseline.py
+Single-core enforcement is via the XLA single-thread flags below
+(execution intra-op parallelism = 1).  r5 note: do NOT additionally
+``taskset -c 0`` the whole process -- that pins XLA *compilation* (which
+is internally parallel) to one core too, and the f64 SE(3) Schur
+programs then take >45 min to compile (measured; the run never reached
+the measurement).  The r4 committed INTEL number from a taskset run and
+this scheme agree (the flags are what bound the timed region).
 """
 
 from __future__ import annotations
