@@ -113,6 +113,27 @@ def test_sweep_harness(tmp_path, circle):
     assert "DCS" in table and "baseline" in table
 
 
+def test_sweep_harness_oracle_columns(tmp_path, circle):
+    """oracle=True fills ate_vs_reference / ate_plain_vs_reference from
+    the per-cell Ceres-semantics oracle (r5, VERDICT r4 task 2)."""
+    graph, _ = circle
+    path = tmp_path / "c.g2o"
+    g2o.write_g2o(str(path), graph)
+    from slam_tpu.eval import harness
+
+    cells = harness.run_sweep(
+        str(path), methods=[1], outlier_counts=[0], seeds=[0],
+        solver=SolverConfig(linear_solver="dense", dtype="float64"),
+        oracle=True,
+    )
+    c = cells[0]
+    assert c.oracle_final_cost is not None
+    # Clean circle, f64, same algorithm family: both pipelines sit in the
+    # oracle's basin.
+    assert c.ate_vs_reference < 0.05
+    assert c.ate_plain_vs_reference < 0.05
+
+
 def test_profiling_timer(circle):
     graph, _ = circle
     t = profiling.Timer()
