@@ -41,10 +41,19 @@ LM_ITERS = 50
 
 
 def main() -> None:
+    # Workload selection: any of {intel, m10000, sphere}; default all.
+    # Results merge into the existing OUT json so workloads can be
+    # (re)measured independently (the sphere f64 SE(3) compile is the
+    # long pole).
+    wanted = set(a for a in sys.argv[1:] if not a.startswith("-")) or {
+        "intel", "m10000", "sphere"}
+
     import jax
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
+    from slam_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax.numpy as jnp
     import numpy as np
 
@@ -88,8 +97,12 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return round(LM_ITERS / best, 2), float(r.cost)
 
-    dense_ips, dense_cost = measure("dense", None)
-    schur_ips, schur_cost = measure("schur", part)
+    dense_ips = schur_ips = None
+    if "intel" in wanted:
+        dense_ips, dense_cost = measure("dense", None)
+        print("intel dense:", dense_ips, flush=True)
+        schur_ips, schur_cost = measure("schur", part)
+        print("intel schur:", schur_ips, flush=True)
 
     def oracle_anchor(dataset, outliers, seed, iters):
         """The Ceres-semantics oracle (scipy sparse-LU trust-region LM --
@@ -117,8 +130,13 @@ def main() -> None:
             done = rep.iterations
         return round(1.0 / best, 2), done
 
-    intel_oracle_ips, _ = oracle_anchor("INTEL", 50, 42, LM_ITERS)
-    m10k_oracle_ips, m10k_iters = oracle_anchor("M10000", 50, 0, 10)
+    intel_oracle_ips = m10k_oracle_ips = m10k_iters = None
+    if "intel" in wanted:
+        intel_oracle_ips, _ = oracle_anchor("INTEL", 50, 42, LM_ITERS)
+        print("intel oracle:", intel_oracle_ips, flush=True)
+    if "m10000" in wanted:
+        m10k_oracle_ips, m10k_iters = oracle_anchor("M10000", 50, 0, 10)
+        print("m10000 oracle:", m10k_oracle_ips, flush=True)
 
     def sphere_anchor():
         """Our solver, f64 Schur P=16, one core -- sphere2500 SE(3) has no
@@ -163,27 +181,19 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return round(ITERS / best, 2)
 
-    sphere_ips = sphere_anchor()
+    sphere_ips = sphere_anchor() if "sphere" in wanted else None
+    if sphere_ips:
+        print("sphere:", sphere_ips, flush=True)
 
-    pinning = ("XLA single-thread flags; run under taskset -c 0 for "
-               "the committed number")
-    rec = {
-        # Back-compat top-level keys = the INTEL anchor (r4 schema).
-        "workload": "INTEL+50outliers seed42, DCS LM, f64, 1 CPU core",
+    pinning = "XLA single-thread execution flags (see module docstring)"
+    rec = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            rec = json.load(f)
+    new = {
         "pinning": pinning,
         "lm_iters": LM_ITERS,
-        "dense_iters_per_s": dense_ips,
-        "schur_p16_iters_per_s": schur_ips,
-        "iters_per_s": max(dense_ips, schur_ips),
-        "final_cost": {"dense": dense_cost, "schur": schur_cost},
-        "oracle_iters_per_s": intel_oracle_ips,
         # r5 multi-workload schema (consumed by bench.py's panel rows).
-        "INTEL": {
-            "iters_per_s": max(dense_ips, schur_ips),
-            "oracle_iters_per_s": intel_oracle_ips,
-            "note": "own solver f64 (best of dense/schur) and the "
-                    "Ceres-semantics oracle, both 1 core",
-        },
         "M10000": {
             "iters_per_s": m10k_oracle_ips,
             "engine": "ceres_oracle (scipy sparse-LU LM, the reference's "
@@ -196,6 +206,27 @@ def main() -> None:
                       "reference residuals are SE(2)-only)",
         },
     }
+    if "intel" in wanted:
+        new.update({
+            # Back-compat top-level keys = the INTEL anchor (r4 schema).
+            "workload": "INTEL+50outliers seed42, DCS LM, f64, 1 CPU core",
+            "dense_iters_per_s": dense_ips,
+            "schur_p16_iters_per_s": schur_ips,
+            "iters_per_s": max(dense_ips, schur_ips),
+            "final_cost": {"dense": dense_cost, "schur": schur_cost},
+            "oracle_iters_per_s": intel_oracle_ips,
+            "INTEL": {
+                "iters_per_s": max(dense_ips, schur_ips),
+                "oracle_iters_per_s": intel_oracle_ips,
+                "note": "own solver f64 (best of dense/schur) and the "
+                        "Ceres-semantics oracle, both 1 core",
+            },
+        })
+    for k, v in new.items():
+        if isinstance(v, dict) and not any(x is None for x in v.values()):
+            rec[k] = v
+        elif not isinstance(v, dict) and v is not None:
+            rec[k] = v
     with open(OUT, "w") as f:
         json.dump(rec, f, indent=2)
     print(json.dumps(rec))
