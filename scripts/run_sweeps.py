@@ -63,6 +63,14 @@ Notes:
   also why clean-M3500 `ATE vs ref` is large: the oracle (= reference)
   stays in the dataset-init basin at cost 1.33 while the product lands
   the 0.80-cost chordal basin.
+- **M10000** (generated per `main.cpp:23`, drifted odometry, ground
+  truth shipped in `data/M10000_gt.npy`) is near-degenerate like MIT:
+  cost identity to the oracle holds (m0 clean 0.7791 vs 0.7785) while
+  pose columns measure flat-basin drift.  The `ATE vs clean` 9.5 m on
+  every DCS row is CROSS-BASIN distance (the m1 cells ride the chordal
+  init and reach cost 0.97 vs the oracle's 1.7-6.6 from the dataset
+  init); quality against ground truth is recorded in
+  `results/ROUND5.md` section 5.
 - **sphere2500** rows show `n/a`: the reference's residuals are
   SE(2)-only and it never ran its named 3D data (`main.cpp:23`) -- no
   reference semantics exists.
