@@ -50,6 +50,30 @@ python -m slam_tpu.cli INTEL 50 4 --save-path save/m4 --seed 42
 echo "== Ceres-semantics oracle identity (results/ceres_oracle.json; CPU f64)"
 python scripts/ceres_oracle_check.py
 
+echo "== manager-oracle decision parity (results/manager_oracle.json; r5)"
+python scripts/manager_oracle_check.py slice
+python -m slam_tpu.cli INTEL 50 3 --save-path save/mo_m3 --seed 42
+python -m slam_tpu.cli INTEL 50 4 --save-path save/mo_m4 --seed 42
+python scripts/manager_oracle_check.py intel50 \
+  --m3-log=save/mo_m3/method3.log --m4-log=save/mo_m4/method4.log
+
+echo "== per-layer ATE tables (results/layer_tables/; r5)"
+python scripts/method_layer_table.py INTEL 50 42 3
+python scripts/method_layer_table.py INTEL 50 42 4
+python scripts/method_layer_table.py M3500 50 0 3
+python scripts/method_layer_table.py M3500 50 0 4
+
+echo "== unfused-linearize cost bounds (results/ROUND5.md section 3; r5)"
+python scripts/linearize_cost.py
+
+echo "== Pallas micro-Cholesky in-context A/B (results/ROUND5.md section 2; r5)"
+python scripts/bench_variants.py blocked=1 panel=128 pallas=0
+python scripts/bench_variants.py blocked=1 panel=32 pallas=1
+python scripts/bench_variants.py blocked=1 panel=32 pallas=0
+
+echo "== one-core CPU anchors (results/cpu_baseline.json; r5 panel)"
+python scripts/bench_cpu_baseline.py intel m10000 sphere
+
 echo "== MIT modeling-limit battery (results/mit_battery.json; CPU f64)"
 python scripts/mit_battery.py
 
