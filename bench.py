@@ -188,10 +188,11 @@ def bench_intel() -> dict:
 
 
 def bench_m10000() -> dict:
-    """M10000+50 single problem, Schur P=8 native (the r4 measured winner
-    at D*ni ~ 3.7k: native 12.25 vs blocked-128 10.29 it/s), chunked
-    5 x 10 iterations with trust-region state threaded through the host
-    (the axon worker kills ~1-minute single executions)."""
+    """M10000+50 single problem, Schur P=24 native — the r5 block-count
+    sweep winner (P=8/16/24/32 -> 12.25/12.59/14.7/11.49 it/s) and the
+    cost model's own pick (``choose_num_blocks``); chunked 5 x 10
+    iterations with trust-region state threaded through the host (the
+    axon worker kills ~1-minute single executions)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -209,7 +210,7 @@ def bench_m10000() -> dict:
     poses0 = jnp.asarray(dirty.poses, jnp.float32)
     sw0 = jnp.ones((edges.num_edges,), jnp.float32)
     cfg = SolverConfig(robust="dcs", linear_solver="schur", dtype="float32")
-    partition = build_partition(dirty.edges_ij, dirty.num_nodes, 8,
+    partition = build_partition(dirty.edges_ij, dirty.num_nodes, 24,
                                 dtype=jnp.float32)
     CHUNK = 10
 
@@ -253,7 +254,7 @@ def bench_m10000() -> dict:
     n_chunks = LM_ITERS // CHUNK
     row = {
         "workload": ("M10000+50outliers DCS robust LM (1 chip, single "
-                     "problem, Schur P=8 exact solve, f32, chunked "
+                     "problem, Schur P=24 exact solve, f32, chunked "
                      f"{n_chunks}x{CHUNK})"),
         "iters_per_s": round(LM_ITERS / best, 2),
         "lm_iters": LM_ITERS, "batch": 1,
