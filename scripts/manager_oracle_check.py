@@ -232,6 +232,21 @@ def intel50():
     return g.add_random_outliers(50, seed=42)
 
 
+def csail50():
+    """CSAIL+50 seed 0.  The CLI's `--init auto` picks the PCM-gated
+    chordal init on this draw (pcm_trusted=True), so the oracle twins
+    must replay from the SAME initialized poses -- the manager algorithm
+    is defined relative to its starting map."""
+    from slam_tpu.config import RunConfig
+    from slam_tpu.io import g2o
+    from slam_tpu.solver.init import apply_init
+    from slam_tpu.utils.logging import RunLogger
+
+    g = g2o.load_g2o(g2o.find_dataset("CSAIL")).add_random_outliers(
+        50, seed=0)
+    return apply_init(g, RunConfig(dataset="CSAIL"), RunLogger(echo=False))
+
+
 # ---------------------------------------------------------------------------
 # Runners
 # ---------------------------------------------------------------------------
@@ -295,8 +310,8 @@ def main() -> int:
             tmpdir = tempfile.mkdtemp()
             m3_log, m4_log = run_host_managers(graph, tmpdir)
             engine = "host-dense-f64-cpu"
-        elif target == "intel50":
-            graph = intel50()
+        elif target in ("intel50", "csail50"):
+            graph = intel50() if target == "intel50" else csail50()
             m3_log = opts.get("m3-log")
             m4_log = opts.get("m4-log")
             engine = "fused-tpu-f32 (CLI logs)"
