@@ -56,6 +56,10 @@ python -m slam_tpu.cli INTEL 50 3 --save-path save/mo_m3 --seed 42
 python -m slam_tpu.cli INTEL 50 4 --save-path save/mo_m4 --seed 42
 python scripts/manager_oracle_check.py intel50 \
   --m3-log=save/mo_m3/method3.log --m4-log=save/mo_m4/method4.log
+python -m slam_tpu.cli CSAIL 50 3 --save-path save/mo_c3 --seed 0
+python -m slam_tpu.cli CSAIL 50 4 --save-path save/mo_c4 --seed 0
+python scripts/manager_oracle_check.py csail50 \
+  --m3-log=save/mo_c3/method3.log --m4-log=save/mo_c4/method4.log
 
 echo "== per-layer ATE tables (results/layer_tables/; r5)"
 python scripts/method_layer_table.py INTEL 50 42 3
