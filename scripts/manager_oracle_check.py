@@ -318,6 +318,9 @@ def main() -> int:
         else:
             raise SystemExit(f"unknown target {target}")
 
+        # --label= stores the cell under a custom key (e.g. the same graph
+        # diffed against a --eval-trust-region ceres production run).
+        key = opts.get("label", target)
         (m3, d3, t3), (m4, d4, t4) = run_oracles(graph)
         cell = dict(
             graph=target,
@@ -339,7 +342,7 @@ def main() -> int:
             with open(m4_log) as f:
                 prod4 = parse_m4_log(f)
             cell["m4_diff"] = diff_m4(prod4, d4, tau4)
-        results[target] = cell
+        results[key] = cell
         print(json.dumps(cell, indent=1, default=str)[:2000])
 
     with open(OUT, "w") as f:

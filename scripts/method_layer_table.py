@@ -52,6 +52,12 @@ def main() -> int:
     dirty = graph.add_random_outliers(n_out, seed=seed)
     cfg = RunConfig(dataset=dataset, method=method, num_outliers=n_out,
                     seed=seed)
+    # Same init policy as the CLI pipeline (run_from_config): the
+    # published selection rows ride `--init auto` (chordal on the
+    # M3500 family, dataset init on INTEL/CSAIL/MIT).
+    from slam_tpu.solver.init import apply_init
+    from slam_tpu.utils.logging import RunLogger as _RL
+    dirty = apply_init(dirty, cfg, _RL(echo=False))
 
     rows = []
     if method == 3:

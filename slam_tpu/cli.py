@@ -109,6 +109,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "that and on large CPU graphs; pcg is the analog "
                         "of the reference's 1-2 inexact inner Ceres "
                         "iterations)")
+    p.add_argument("--eval-trust-region", default=None,
+                   choices=[None, "nielsen", "ceres"],
+                   help="methods 3/4: short-solve bookkeeping for the "
+                        "candidate evaluations (ceres = stock-Ceres "
+                        "acceptance/radius updates for decision parity "
+                        "with the manager oracle; default nielsen)")
     p.add_argument("--eval-pcg-iters", type=int, default=None,
                    help="fused methods 3/4: CG cap of the PCG candidate "
                         "evaluations (default 64; lower is faster and "
@@ -163,6 +169,8 @@ def _fused_overrides(args) -> dict:
         out["eval_pcg_max_iters"] = args.eval_pcg_iters
     if getattr(args, "eval_pcg_rtol", None):
         out["eval_pcg_rtol"] = args.eval_pcg_rtol
+    if getattr(args, "eval_trust_region", None):
+        out["eval_trust_region"] = args.eval_trust_region
     return out
 
 

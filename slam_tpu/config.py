@@ -108,6 +108,12 @@ class SolverConfig:
     dcs_consensus_chains: int = 6
 
     # LM trust-region loop (Ceres defaults: 50 iters, ftol 1e-6).
+    # ``trust_region``: "nielsen" (default; the production damping whose
+    # fixed points are golden-pinned) or "ceres" (r5, opt-in in
+    # lm_fixed_iters only: stock-Ceres acceptance + radius update, used
+    # by the method-3/4 eval path for decision parity with the manager
+    # oracle -- see solver/lm.py).
+    trust_region: str = "nielsen"
     max_iterations: int = 50
     function_tolerance: float = 1e-6
     init_lambda: float = 1e-4
@@ -181,6 +187,11 @@ class LayeringConfig:
     # stay under the deadline (methods/_fused_common.py); an explicit
     # value is honored as given.
     scan_chunk: int | None = None
+    # Short-solve bookkeeping for the candidate evaluations: "ceres"
+    # switches lm_fixed_iters to stock-Ceres acceptance/radius updates
+    # (r5 -- decision parity with the manager oracle; "nielsen" is the
+    # r1-r4 behaviour the committed goldens pin).
+    eval_trust_region: str = "nielsen"
     # Inner-solve accuracy for the candidate evaluations when the eval
     # solver is PCG (TPU).  The reference's evaluate_cost runs 1-2 *inexact*
     # Ceres iterations (``layer_manager.cpp:642``); a loose CG tolerance is
@@ -216,6 +227,7 @@ class MctsConfig:
     local_window: int = 20
     # Fused engine chunking + inner-solve accuracy (see LayeringConfig).
     scan_chunk: int | None = None
+    eval_trust_region: str = "nielsen"
     eval_pcg_rtol: float = 1e-3
     eval_pcg_max_iters: int = 64
     eval_linear: str = "auto"

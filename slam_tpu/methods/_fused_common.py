@@ -236,7 +236,8 @@ def setup_eval_solver(graph, cfg, solver):
         scan_chunk = 64
     eval_cfg = solver.replace(
         robust="none", huber_delta=cfg.huber_delta,
-        linear_solver=linear, **extra,
+        linear_solver=linear,
+        trust_region=getattr(cfg, "eval_trust_region", "nielsen"), **extra,
     )
     dtype = jnp.dtype(eval_cfg.dtype)
     # Eval solves are incidence-bandwidth-bound: use the chain-compressed

@@ -119,7 +119,8 @@ class LayeringManager:
                          pcg_max_iters=cfg.eval_pcg_max_iters)
         self.eval_cfg = solver.replace(
             robust="none", huber_delta=cfg.huber_delta,
-            linear_solver=linear, **extra,
+            linear_solver=linear,
+            trust_region=cfg.eval_trust_region, **extra,
         )
         self.dtype = jnp.dtype(self.eval_cfg.dtype)
 

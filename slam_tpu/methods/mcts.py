@@ -84,7 +84,8 @@ class MctsManager:
                          pcg_max_iters=cfg.eval_pcg_max_iters)
         self.eval_cfg = solver.replace(
             robust="none", huber_delta=cfg.huber_delta,
-            linear_solver=linear, **extra,
+            linear_solver=linear,
+            trust_region=cfg.eval_trust_region, **extra,
         )
         self.dtype = jnp.dtype(self.eval_cfg.dtype)
         self.edges = edge_set_from_graph(self.graph, dtype=self.dtype)

@@ -160,3 +160,27 @@ def test_manager_oracle_intel_slice():
     # below the closest decision margin.
     assert r3["max_delta_diff"] < 1e-4 < r3["min_split_margin"]
     assert r4["max_split_value_diff"] < 1e-4 < r4["min_split_margin"]
+
+
+def test_method3_ceres_trust_region_eval_tracks_oracle(dirty_circle):
+    """The r5 opt-in `eval_trust_region="ceres"` aligns the production
+    short-solve bookkeeping with stock Ceres; decisions AND Delta values
+    must track the oracle (measured at INTEL+50 production scale:
+    306/306 decisions, max Delta diff 1.5e-4 --
+    results/manager_oracle.json `intel50_ceres_tr`)."""
+    from slam_tpu.methods.layering import LayeringManager
+
+    cfg = LayeringConfig(local_iters=2, max_layers=8,
+                         eval_trust_region="ceres")
+    rec = _Recorder()
+    out = LayeringManager(dirty_circle, cfg, _SOLVER, rec).run()
+    host = _host_m3_decisions(rec.entries)
+    oracle = Method3Oracle(
+        dirty_circle, LayeringConfig(local_iters=2, max_layers=8))
+    dec = oracle.run()
+    assert len(host) == len(dec)
+    for h, o in zip(host, dec):
+        assert (h["topk"], h["split"], h["target"]) == (
+            o["topk"], o["split"], o["target"])
+        np.testing.assert_allclose(h["deltas"], o["deltas"], atol=5e-5)
+    assert out.best_layer == oracle.best_layer()
