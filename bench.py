@@ -188,9 +188,12 @@ def bench_intel() -> dict:
 
 
 def bench_m10000() -> dict:
-    """M10000+50 single problem, Schur P=24 native — the r5 block-count
-    sweep winner (P=8/16/24/32 -> 12.25/12.59/14.7/11.49 it/s) and the
-    cost model's own pick (``choose_num_blocks``); chunked 5 x 10
+    """M10000+50 single problem, spectral-graph-partitioned Schur — the r5
+    scheme sweep winner (index P=24 14.77 it/s; graph P=16/24/32/48 ->
+    24.0/31.3/32.0/30.3) and the cost model's own pick
+    (``choose_partition`` -> graph P=32: the Manhattan-world closures span
+    thousands of indices, so contiguous cuts put 1793 nodes in the
+    separator where the spectral cut leaves 453); chunked 5 x 10
     iterations with trust-region state threaded through the host (the
     axon worker kills ~1-minute single executions)."""
     import jax
@@ -201,7 +204,7 @@ def bench_m10000() -> dict:
     from slam_tpu.io import g2o
     from slam_tpu.solver.lm import lm_fixed_iters
     from slam_tpu.solver.problem import anchor_first_node, edge_set_from_graph
-    from slam_tpu.solver.schur import build_partition
+    from slam_tpu.solver.schur import build_partition, choose_partition
 
     graph = g2o.load_g2o(os.path.join(_REPO, "data", "M10000.g2o"))
     dirty = graph.add_random_outliers(50, seed=0).canonical_order()
@@ -210,8 +213,9 @@ def bench_m10000() -> dict:
     poses0 = jnp.asarray(dirty.poses, jnp.float32)
     sw0 = jnp.ones((edges.num_edges,), jnp.float32)
     cfg = SolverConfig(robust="dcs", linear_solver="schur", dtype="float32")
-    partition = build_partition(dirty.edges_ij, dirty.num_nodes, 24,
-                                dtype=jnp.float32)
+    nblocks, node_block = choose_partition(dirty.edges_ij, dirty.num_nodes)
+    partition = build_partition(dirty.edges_ij, dirty.num_nodes, nblocks,
+                                dtype=jnp.float32, node_block=node_block)
     CHUNK = 10
 
     @jax.jit
@@ -254,8 +258,8 @@ def bench_m10000() -> dict:
     n_chunks = LM_ITERS // CHUNK
     row = {
         "workload": ("M10000+50outliers DCS robust LM (1 chip, single "
-                     "problem, Schur P=24 exact solve, f32, chunked "
-                     f"{n_chunks}x{CHUNK})"),
+                     f"problem, spectral-graph Schur P={nblocks} exact "
+                     f"solve, f32, chunked {n_chunks}x{CHUNK})"),
         "iters_per_s": round(LM_ITERS / best, 2),
         "lm_iters": LM_ITERS, "batch": 1,
         "cost0": round(cost0, 4), "cost": round(cost, 4),

@@ -67,9 +67,14 @@ def run(spec: str) -> dict:
     sw0 = jnp.ones((edges.num_edges,), jnp.float32)
 
     partition = None
-    if kind in ("schur", "schuropt", "schurgnc", "schurblk"):
+    if kind in ("schur", "schuropt", "schurgnc", "schurblk", "schurgraph"):
         # ``schuropt:P`` places the block cuts with the span-minimising DP
         # (optimize_cut_positions) instead of equal-size slicing.
+        # ``schurgraph:P`` partitions by GRAPH structure (recursive spectral
+        # bisection, partition.graph_partition) -- on this Manhattan-world
+        # graph the long-index-span closures make every contiguous scheme
+        # cut thousands of edges (ns=1793 at P=24) where the spectral cut
+        # keeps them inside blocks (ns=428).
         # ``schurgnc:P`` = equal cuts + graduated non-convexity (phi
         # annealed over the first 2/3 of the iterations).
         gnc = dict(gnc_anneal_iters=LM_ITERS * 2 // 3) \
@@ -96,9 +101,15 @@ def run(spec: str) -> dict:
                         "silently run single-level)")
         cfg = SolverConfig(robust="dcs", linear_solver="schur",
                            dtype="float32", **gnc)
+        node_block = None
+        if kind == "schurgraph":
+            from slam_tpu.solver.partition import graph_partition
+            node_block = graph_partition(dirty.edges_ij, dirty.num_nodes,
+                                         blocks)
         partition = build_partition(dirty.edges_ij, dirty.num_nodes, blocks,
                                     dtype=jnp.float32,
-                                    optimize_cuts=(kind == "schuropt"))
+                                    optimize_cuts=(kind == "schuropt"),
+                                    node_block=node_block)
     else:
         # ``pcg:N`` caps the inner CG at N iterations (0 -> 100).  On this
         # outlier-heavy graph the chain preconditioner models closures only

@@ -149,6 +149,14 @@ class SolverConfig:
     # schur_blocked; ignored for tiny batches / non-f32 (see
     # blocked_chol._panel_factor).
     schur_pallas_micro: bool = False
+    # Partition SCHEME for the Schur solver: "index" = contiguous index
+    # ranges (r1-r4 behaviour), "graph" = recursive-spectral-bisection
+    # node->block assignment (solver/partition.py), "auto" = cost-model
+    # choice between the two (schur.choose_partition).  Graph partitions
+    # keep long-index-span loop closures inside blocks: M10000 separator
+    # 1793 -> 428 nodes at P=24, 14.8 -> 31.3 LM it/s measured on chip;
+    # index-ordered graphs (INTEL) keep the contiguous scheme.
+    schur_partition: str = "auto"
 
     # Numerics.  float32 is TPU-native; tests validate f32 vs f64 fixed points.
     dtype: str = "float32"

@@ -254,9 +254,24 @@ def setup_eval_solver(graph, cfg, solver):
     edges = edge_set_from_graph(graph, dtype=dtype, incidence=inc)
     partition = None
     if linear == "schur":
-        from slam_tpu.solver.schur import build_partition
+        from slam_tpu.solver.schur import build_partition, choose_partition
+        # Scheme choice (index vs spectral-graph cuts) follows the solver
+        # config like global_solve; the BLOCK COUNT stays the explicit
+        # eval_schur_blocks knob unless the graph scheme wins, in which
+        # case the cost model picks its level too (M3500 candidate evals
+        # are separator-bound under index cuts: ns=979 at P=8 vs 298
+        # graph -- the measured source of the r4 method-3 wall).
+        node_block = None
+        nblocks = cfg.eval_schur_blocks
+        if getattr(solver, "schur_partition", "index") in ("auto", "graph"):
+            nblocks, node_block = choose_partition(
+                graph.edges_ij, graph.num_nodes,
+                scheme=solver.schur_partition,
+            )
+            if node_block is None:
+                nblocks = cfg.eval_schur_blocks
         partition = build_partition(
-            graph.edges_ij, graph.num_nodes, cfg.eval_schur_blocks,
-            dtype=dtype,
+            graph.edges_ij, graph.num_nodes, nblocks,
+            dtype=dtype, node_block=node_block,
         )
     return eval_cfg, edges, partition, scan_chunk

@@ -149,24 +149,30 @@ def run_global_solve(
         )
         logger.log("woodbury", lowrank_edges=partition.num_lowrank)
     if scfg.linear_solver == "schur":
-        from slam_tpu.solver.schur import build_partition, choose_num_blocks
+        from slam_tpu.solver.schur import build_partition, choose_partition
 
-        # Tile-padded cost-model block-count choice; matches the measured
-        # per-dataset winners (INTEL 16, M10000 24, sphere2500 4 --
-        # results/ROUND2.md).
-        nblocks = choose_num_blocks(
+        # Tile-padded cost-model choice over block count AND partition
+        # scheme (contiguous index ranges vs recursive-spectral-bisection
+        # graph cuts -- r5; the graph scheme wins wherever loop closures
+        # span many indices: M10000 14.8 -> 31.3 LM it/s on chip).  The
+        # index-scheme winners still match the measured per-dataset bests
+        # (INTEL 16, sphere2500 4 -- results/ROUND2.md).
+        nblocks, node_block = choose_partition(
             np.asarray(edges.ij), canon.num_nodes,
             tangent_dim=model.tangent_dim,
+            scheme=scfg.schur_partition,
         )
         # Partition over the PADDED edge list so shapes line up with the
         # EdgeSet; pad edges self-loop on node 0 (a separator) with zero
         # weight, so they are unowned and contribute nothing.
         partition = build_partition(
-            np.asarray(edges.ij), canon.num_nodes, nblocks, dtype=dtype
+            np.asarray(edges.ij), canon.num_nodes, nblocks, dtype=dtype,
+            node_block=node_block,
         )
         logger.log(
             "partition", blocks=nblocks, ni_max=partition.ni_max,
             ns=partition.ns, ek_max=partition.ek_max,
+            scheme=("graph" if node_block is not None else "index"),
         )
         # r4 measured (scripts/bench_variants.py, INTEL+50 batch 8): the
         # panel-128 blocked MXU Cholesky beats XLA's native factorization

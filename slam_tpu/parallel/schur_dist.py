@@ -82,16 +82,24 @@ class DistSchurProblem(NamedTuple):
         return self.inc_int_a.shape[1]
 
 
-def _assign_dist(g: PoseGraph, num_blocks: int):
+def _assign_dist(g: PoseGraph, num_blocks: int,
+                 node_block: np.ndarray | None = None):
     """Shared node/edge assignment for the distributed problem builder:
     ``(node_block, sep_ids, interior_ids, per_block_edges)``.  One source
     of truth so :func:`dist_problem_stats` can never desync from
-    :func:`build_dist_problem`."""
+    :func:`build_dist_problem`.  ``node_block`` overrides the contiguous
+    equal-size assignment (e.g. ``solver.partition.graph_partition`` --
+    the separator system is all-gathered every iteration, so the spectral
+    cut's smaller ns shrinks the dominant ICI collective too)."""
     ij = g.edges_ij
     n = g.num_nodes
     E = g.num_edges
-    block_size = -(-n // num_blocks)
-    node_block = np.minimum(np.arange(n) // block_size, num_blocks - 1)
+    if node_block is None:
+        block_size = -(-n // num_blocks)
+        node_block = np.minimum(np.arange(n) // block_size, num_blocks - 1)
+    else:
+        node_block = np.asarray(node_block, np.int64)
+        assert node_block.shape == (n,) and node_block.max() < num_blocks
     ba, bb = node_block[ij[:, 0]], node_block[ij[:, 1]]
     sep = np.zeros(n, bool)
     cross = ba != bb
@@ -118,12 +126,14 @@ def _assign_dist(g: PoseGraph, num_blocks: int):
 
 
 def dist_problem_stats(
-    graph: PoseGraph, num_blocks: int
+    graph: PoseGraph, num_blocks: int,
+    node_block: np.ndarray | None = None,
 ) -> tuple[int, int, int]:
     """Natural ``(ni, ns, ek)`` of :func:`build_dist_problem` -- use to
     compute shared ``pad_shapes`` across problems (e.g. outlier seeds)."""
     g = graph.canonical_order()
-    _, sep_ids, interior_ids, per_block = _assign_dist(g, num_blocks)
+    _, sep_ids, interior_ids, per_block = _assign_dist(g, num_blocks,
+                                                       node_block)
     ni = max(1, max(len(x) for x in interior_ids))
     ek = max(1, max(len(x) for x in per_block))
     return ni, len(sep_ids), ek
@@ -134,6 +144,7 @@ def build_dist_problem(
     num_blocks: int,
     dtype=jnp.float32,
     pad_shapes: tuple[int, int, int] | None = None,
+    node_block: np.ndarray | None = None,
 ) -> DistSchurProblem:
     """Partition + per-device edge shards (every edge on exactly one device).
 
@@ -147,7 +158,7 @@ def build_dist_problem(
     n = g.num_nodes
 
     node_block, sep_ids, interior_ids, per_block = _assign_dist(
-        g, num_blocks
+        g, num_blocks, node_block
     )
     ns = len(sep_ids)
     sep_slot = np.full(n, -1)

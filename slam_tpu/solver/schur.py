@@ -189,13 +189,22 @@ def optimize_cut_positions(
 
 
 def _assign_blocks(
-    ij: np.ndarray, n: int, num_blocks: int, optimize_cuts: bool
+    ij: np.ndarray, n: int, num_blocks: int, optimize_cuts: bool,
+    node_block: np.ndarray | None = None,
 ):
     """Shared node/edge assignment:
-    ``(sep_ids, interior_ids, block_edges, sep_edges)``."""
+    ``(sep_ids, interior_ids, block_edges, sep_edges)``.
+
+    ``node_block`` (any (n,) block-id array, e.g. from
+    ``partition.graph_partition``) overrides the contiguous index-range
+    assignment; everything downstream is assignment-agnostic and the
+    device solve is exact for any partition."""
     ij = np.asarray(ij)
     E = ij.shape[0]
-    if optimize_cuts:
+    if node_block is not None:
+        node_block = np.asarray(node_block, np.int64)
+        assert node_block.shape == (n,) and node_block.max() < num_blocks
+    elif optimize_cuts:
         node_block = optimize_cut_positions(ij, n, num_blocks)
     else:
         block_size = -(-n // num_blocks)
@@ -253,12 +262,13 @@ def _local_sep_ids(
 
 
 def partition_stats(
-    ij: np.ndarray, n: int, num_blocks: int, optimize_cuts: bool = False
+    ij: np.ndarray, n: int, num_blocks: int, optimize_cuts: bool = False,
+    node_block: np.ndarray | None = None,
 ) -> tuple[int, int, int, int, int]:
     """``(ni_max, ns, ek_max, es_max, nsk_max)`` of :func:`build_partition`
     without materialising the (potentially hundreds-of-MB) operators."""
     sep_ids, interior_ids, block_edges, sep_edges = _assign_blocks(
-        ij, n, num_blocks, optimize_cuts
+        ij, n, num_blocks, optimize_cuts, node_block
     )
     ni_max = max(1, max(len(x) for x in interior_ids))
     ek_max = max(1, max(len(x) for x in block_edges))
@@ -271,6 +281,77 @@ def _tile(x: int | float, t: int = 128) -> int:
     """Round ``x`` up to a multiple of the TPU lane tile (128)."""
     x = int(x)
     return -(-x // t) * t
+
+
+def _partition_cost(
+    stats: tuple[int, int, int, int, int], P: int, D: int, R: int
+) -> float:
+    """Tile-padded cost model of one :func:`schur_solve` call for a
+    partition with the given ``partition_stats`` (see
+    :func:`choose_num_blocks` for the term-by-term rationale and the
+    fitted weights)."""
+    ni, ns, ek, es, nsk = stats
+    dni, dns, ekR = D * ni, D * ns, ek * R
+    dnsk = D * nsk
+    p = _tile
+    return (
+        P * p(dni) ** 3 / 3              # interior Cholesky
+        + 2 * P * p(dni) * p(dni) * p(dnsk)  # Y triangular solves
+        + P * p(dni) * p(dni) * p(ekR)   # A assembly
+        + P * p(dni) * p(dnsk) * p(ekR)  # F assembly (local width)
+        + P * p(dnsk) * p(dnsk) * p(dni)  # G^T G reduction (local)
+        + 0.5 * P * p(dnsk) * p(dns) * (p(dnsk) + p(dns))  # S expansion
+        + 0.5 * p(dns) ** 3 / 3          # separator Cholesky
+        + 0.3 * p(es * R) * p(dns) * p(dns)  # C assembly (sep rows)
+    )
+
+
+def choose_partition(
+    ij: np.ndarray,
+    n: int,
+    tangent_dim: int = 3,
+    residual_dim: int | None = None,
+    candidates: tuple[int, ...] = (2, 4, 6, 8, 12, 16, 24, 32),
+    scheme: str = "auto",
+    cap: bool = True,
+) -> tuple[int, np.ndarray | None]:
+    """Pick ``(num_blocks, node_block)`` across partition SCHEMES, not just
+    block counts.
+
+    ``scheme='index'`` reduces to :func:`choose_num_blocks` (contiguous
+    index ranges; ``node_block=None``).  ``scheme='graph'`` picks the best
+    power-of-two level of one recursive-spectral-bisection tree
+    (``partition.partition_tree``).  ``'auto'`` evaluates both under the
+    same tile-padded cost model and keeps the cheaper one -- measured: the
+    graph scheme wins wherever loop closures span many indices (M10000
+    ns 1793 -> 428 at P=24, 14.7 -> 31.3 it/s; M3500 ns 931 -> 213 at
+    P=6) and loses on path-ordered graphs (INTEL ns 166 -> 247 at P=16),
+    which is exactly what the model predicts, so the choice needs no
+    per-dataset knobs.
+    """
+    ij = np.asarray(ij)
+    D = tangent_dim
+    R = residual_dim if residual_dim is not None else tangent_dim
+    best: tuple[float, int, np.ndarray | None] | None = None
+    if scheme in ("index", "auto"):
+        P = choose_num_blocks(ij, n, tangent_dim, residual_dim,
+                              candidates, cap)
+        f = _partition_cost(partition_stats(ij, n, P), P, D, R)
+        best = (f, P, None)
+    if scheme in ("graph", "auto") and n // 2 >= 8:
+        from slam_tpu.solver.partition import partition_tree
+
+        max_parts = max(p for p in candidates if n // p >= 8)
+        levels = partition_tree(ij, n, max_parts=max_parts)
+        for P, nb in levels.items():
+            stats = partition_stats(ij, n, P, node_block=nb)
+            if cap and D >= 6 and stats[1] > n // 8:
+                continue  # same SE(3) f32 separator guard as index
+            f = _partition_cost(stats, P, D, R)
+            if best is None or f < best[0]:
+                best = (f, P, nb)
+    assert best is not None, "no feasible partition scheme/level"
+    return best[1], best[2]
 
 
 def choose_num_blocks(
@@ -309,22 +390,10 @@ def choose_num_blocks(
     for P in candidates:
         if P < 2 or n // P < 8:
             continue
-        ni, ns, ek, es, nsk = partition_stats(ij, n, P)
-        if cap and D >= 6 and ns > n // 8:
+        stats = partition_stats(ij, n, P)
+        if cap and D >= 6 and stats[1] > n // 8:
             continue  # SE(3) f32 quality guard (see docstring)
-        dni, dns, ekR = D * ni, D * ns, ek * R
-        dnsk = D * nsk
-        p = _tile
-        f = (
-            P * p(dni) ** 3 / 3              # interior Cholesky
-            + 2 * P * p(dni) * p(dni) * p(dnsk)  # Y triangular solves
-            + P * p(dni) * p(dni) * p(ekR)   # A assembly
-            + P * p(dni) * p(dnsk) * p(ekR)  # F assembly (local width)
-            + P * p(dnsk) * p(dnsk) * p(dni)  # G^T G reduction (local)
-            + 0.5 * P * p(dnsk) * p(dns) * (p(dnsk) + p(dns))  # S expansion
-            + 0.5 * p(dns) ** 3 / 3          # separator Cholesky
-            + 0.3 * p(es * R) * p(dns) * p(dns)  # C assembly (sep rows)
-        )
+        f = _partition_cost(stats, P, D, R)
         if best_f is None or f < best_f:
             best_p, best_f = P, f
     if best_p is None:
@@ -343,6 +412,7 @@ def build_partition(
     dtype=jnp.float32,
     pad_shapes: tuple[int, ...] | None = None,
     optimize_cuts: bool = False,
+    node_block: np.ndarray | None = None,
 ) -> SchurPartition:
     """Contiguous index-range partition with cross-edge separator.
 
@@ -351,12 +421,13 @@ def build_partition(
     seed) share one compiled program and can be vmapped/stacked together
     (legacy 3-/4-tuples without ``es_max``/``nsk_max`` are accepted).  ``optimize_cuts`` places the
     block boundaries with :func:`optimize_cut_positions` instead of
-    equal-size slicing.
+    equal-size slicing; ``node_block`` overrides both with an arbitrary
+    assignment (see ``partition.graph_partition``).
     """
     ij = np.asarray(ij)
     E = ij.shape[0]
     sep_ids, interior_ids, block_edges, sep_edges = _assign_blocks(
-        ij, n, num_blocks, optimize_cuts
+        ij, n, num_blocks, optimize_cuts, node_block
     )
     ns = len(sep_ids)
     ni_max = max(1, max(len(x) for x in interior_ids))

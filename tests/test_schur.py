@@ -94,6 +94,28 @@ def test_choose_num_blocks_measured_winners():
         assert choose_num_blocks(m.edges_ij, m.num_nodes) == 24
 
 
+def test_choose_partition_measured_scheme_winners():
+    """Scheme selection reproduces the r5 measured winners: INTEL stays on
+    contiguous index cuts (graph cuts fragment the path-ordered layout:
+    ns 166 -> 247 at P=16), M10000 flips to the spectral graph scheme
+    (index P=24 14.77 it/s vs graph P=32 31.99 measured on chip)."""
+    import os
+
+    from slam_tpu.io import g2o
+    from slam_tpu.solver.schur import choose_partition
+
+    g = g2o.load_g2o(g2o.find_dataset("INTEL"))
+    g = g.add_random_outliers(50, seed=0).canonical_order()
+    P, nb = choose_partition(g.edges_ij, g.num_nodes)
+    assert P == 16 and nb is None
+
+    if os.path.exists("data/M10000.g2o"):
+        m = g2o.load_g2o("data/M10000.g2o")
+        m = m.add_random_outliers(50, seed=0).canonical_order()
+        P, nb = choose_partition(m.edges_ij, m.num_nodes)
+        assert P == 32 and nb is not None
+
+
 def test_blocked_cholesky_matches_scipy():
     """Panel-blocked Cholesky/solves (the TPU path inside schur_solve)
     reproduce LAPACK to machine precision, including padded sizes and both
@@ -237,3 +259,39 @@ def test_schur_half_substitution_branch_matches_dense(problem, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(res_s.poses), np.asarray(res_d.poses), atol=1e-9
     )
+
+
+def test_graph_partition_invariants_and_exactness(problem):
+    """Arbitrary node->block assignments (partition.graph_partition) keep
+    every partition invariant and the Schur solve stays exact vs dense."""
+    from slam_tpu.solver.partition import (
+        graph_partition, partition_edge_cut,
+    )
+
+    graph, edges, free, poses0, sw0 = problem
+    nb = graph_partition(graph.edges_ij, graph.num_nodes, 4)
+    assert nb.shape == (graph.num_nodes,)
+    sizes = np.bincount(nb, minlength=4)
+    assert sizes.min() > 0
+    # Balanced within the partitioner's slack.
+    assert sizes.max() <= int(np.ceil(graph.num_nodes / 4 * 1.5))
+    part = build_partition(graph.edges_ij, graph.num_nodes, 4,
+                           dtype=jnp.float64, node_block=nb)
+    int_sel = np.asarray(part.int_sel)
+    sep_sel = np.asarray(part.sep_sel)
+    node_cover = int_sel.sum(axis=(0, 1)) + sep_sel.sum(axis=0)
+    np.testing.assert_allclose(node_cover, 1.0)
+    assert sep_sel[:, 0].sum() == 1.0
+
+    cfg_d = SolverConfig(robust="dcs", linear_solver="dense", dtype="float64")
+    cfg_s = cfg_d.replace(linear_solver="schur")
+    res_d = lm_solve(poses0, sw0, edges, free, cfg_d)
+    res_s = lm_solve(poses0, sw0, edges, free, cfg_s, partition=part)
+    assert int(res_d.iterations) == int(res_s.iterations)
+    np.testing.assert_allclose(
+        np.asarray(res_s.poses), np.asarray(res_d.poses), atol=1e-9
+    )
+    # On the ring topology the spectral cut should not be worse than the
+    # contiguous one by more than the slack allows; sanity: cut is small.
+    cut = partition_edge_cut(graph.edges_ij, nb)
+    assert cut < graph.num_nodes // 4
