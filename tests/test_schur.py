@@ -295,3 +295,20 @@ def test_graph_partition_invariants_and_exactness(problem):
     # contiguous one by more than the slack allows; sanity: cut is small.
     cut = partition_edge_cut(graph.edges_ij, nb)
     assert cut < graph.num_nodes // 4
+
+
+def test_graph_partition_disconnected_graph():
+    """The spectral partitioner must not crash (or unbalance) when a
+    bisection subgraph is disconnected -- PCM-style edge dropping can
+    disconnect components mid-recursion."""
+    from slam_tpu.solver.partition import graph_partition
+
+    # Two 32-node chains with no connecting edge.
+    ij = np.concatenate([
+        np.stack([np.arange(31), np.arange(1, 32)], 1),
+        32 + np.stack([np.arange(31), np.arange(1, 32)], 1),
+    ])
+    nb = graph_partition(ij, 64, 4)
+    sizes = np.bincount(nb, minlength=4)
+    assert sizes.min() > 0
+    assert sizes.max() <= int(np.ceil(64 / 4 * 1.5))
