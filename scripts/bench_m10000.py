@@ -25,6 +25,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 LM_ITERS = 30
 if "--iters" in sys.argv:
     LM_ITERS = int(sys.argv[sys.argv.index("--iters") + 1])
+# Device-call chunking (default 10 -- the r2 conservative choice).  At
+# 30+ it/s a full 30-iteration call is ~1 s of device time, far under
+# the axon ~1-minute execution kill, so larger chunks amortize the
+# host round-trip per chunk; --chunk N measures that.
+CHUNK_ARG = 10
+if "--chunk" in sys.argv:
+    CHUNK_ARG = int(sys.argv[sys.argv.index("--chunk") + 1])
 
 
 def run(spec: str) -> dict:
@@ -126,7 +133,7 @@ def run(spec: str) -> dict:
     # remote-compile request limit (HTTP 413).  Chunked driving (3 x 10
     # iters, poses threaded through the host) keeps each device call under
     # the axon worker's ~1-minute single-execution kill.
-    CHUNK = 10
+    CHUNK = CHUNK_ARG
 
     @jax.jit
     def solve(p, s, e, part, lam0, nu0, it0):
@@ -182,9 +189,10 @@ def main():
     from slam_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
     argv = sys.argv[1:]
-    if "--iters" in argv:
-        i = argv.index("--iters")
-        del argv[i:i + 2]  # drop the flag and its value by position
+    for flag in ("--iters", "--chunk"):
+        if flag in argv:
+            i = argv.index(flag)
+            del argv[i:i + 2]  # drop the flag and its value by position
     for spec in argv:
         if spec.startswith("--"):
             continue

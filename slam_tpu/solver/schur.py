@@ -350,7 +350,12 @@ def choose_partition(
             f = _partition_cost(stats, P, D, R)
             if best is None or f < best[0]:
                 best = (f, P, nb)
-    assert best is not None, "no feasible partition scheme/level"
+    if best is None:
+        # scheme="graph" on a graph too small (or too capped) to yield a
+        # tree level: fall back to the contiguous choice rather than fail.
+        P = choose_num_blocks(ij, n, tangent_dim, residual_dim,
+                              candidates, cap)
+        return P, None
     return best[1], best[2]
 
 
