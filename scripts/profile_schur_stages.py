@@ -23,6 +23,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 LM_ITERS = 50
 BATCH = 8
 NUM_BLOCKS = 16
+DATASET = "INTEL"
+SCHEME = "index"
+# r5: ``--dataset M10000 --batch 1 --blocks 32 --scheme graph`` profiles
+# the spectral-partition M10000 bench configuration (same stages; the
+# use_inv-branch mirror still holds there: D*ni = 918 <= 1024).
+if "--dataset" in sys.argv:
+    DATASET = sys.argv[sys.argv.index("--dataset") + 1]
+if "--batch" in sys.argv:
+    BATCH = int(sys.argv[sys.argv.index("--batch") + 1])
+if "--blocks" in sys.argv:
+    NUM_BLOCKS = int(sys.argv[sys.argv.index("--blocks") + 1])
+if "--scheme" in sys.argv:
+    SCHEME = sys.argv[sys.argv.index("--scheme") + 1]
 
 
 def main():
@@ -42,17 +55,28 @@ def main():
         _PREC, _mm, build_partition, partition_stats,
     )
 
-    graph = g2o.load_g2o(g2o.find_dataset("INTEL"))
+    graph = g2o.load_g2o(g2o.find_dataset(DATASET))
     dirties = [graph.add_random_outliers(50, seed=s).canonical_order()
                for s in range(BATCH)]
-    sets = [edge_set_from_graph(g, dtype=jnp.float32, incidence=True)
+    # Large graphs must ride the chain-compressed incidence (a dense
+    # (E, N) one-hot pair at M10000 scale is ~1 GB and blows the axon
+    # remote-compile request); schur takes topology from the partition.
+    inc = True if graph.num_nodes <= 2048 else "chain"
+    sets = [edge_set_from_graph(g, dtype=jnp.float32, incidence=inc)
             for g in dirties]
-    stats = [partition_stats(g.edges_ij, g.num_nodes, NUM_BLOCKS)
-             for g in dirties]
+    nbs = [None] * BATCH
+    if SCHEME == "graph":
+        from slam_tpu.solver.partition import graph_partition
+        nbs = [graph_partition(g.edges_ij, g.num_nodes, NUM_BLOCKS)
+               for g in dirties]
+    stats = [partition_stats(g.edges_ij, g.num_nodes, NUM_BLOCKS,
+                             node_block=nb)
+             for g, nb in zip(dirties, nbs)]
     pad = tuple(max(s[i] for s in stats) for i in range(len(stats[0])))
     parts = [build_partition(g.edges_ij, g.num_nodes, NUM_BLOCKS,
-                             dtype=jnp.float32, pad_shapes=pad)
-             for g in dirties]
+                             dtype=jnp.float32, pad_shapes=pad,
+                             node_block=nb)
+             for g, nb in zip(dirties, nbs)]
     edges_b = jax.tree.map(lambda *xs: jnp.stack(xs), *sets)
     parts_b = jax.tree.map(lambda *xs: jnp.stack(xs), *parts)
     free = anchor_first_node(graph.num_nodes, dtype=jnp.float32)
