@@ -75,6 +75,15 @@ python scripts/bench_variants.py blocked=1 panel=128 pallas=0
 python scripts/bench_variants.py blocked=1 panel=32 pallas=1
 python scripts/bench_variants.py blocked=1 panel=32 pallas=0
 
+echo "== spectral-partition measurements (results/ROUND5.md section 7; r5)"
+python scripts/bench_m10000.py schur:24 schurgraph:16 schurgraph:24 \
+  schurgraph:32 schurgraph:48            # scheme sweep (14.77 vs 24-32 it/s)
+python scripts/bench_m10000.py schurgraph:32 --chunk 30   # dispatch negative
+python scripts/profile_schur_stages.py --dataset M10000 --batch 1 \
+  --blocks 32 --scheme graph             # post-partition stage table
+timeout 2500 python -m slam_tpu.cli M3500 50 3 --save-path save/m3_wall \
+  --seed 0                               # 6m51s-warm method-3 wall record
+
 echo "== one-core CPU anchors (results/cpu_baseline.json; r5 panel)"
 python scripts/bench_cpu_baseline.py intel m10000 sphere
 
