@@ -73,14 +73,39 @@ def main() -> int:
     print(f"distributed schur 8-dev:  {cost0:.4f} -> {cost:.4f} "
           f"({time.perf_counter() - t0:.1f}s incl compile)", flush=True)
 
+    # r5: same path with the spectral graph partition.  The psum'd
+    # separator system (S, rhs_s) is (D*ns)^2 -- the dominant collective
+    # -- so the smaller spectral separator cuts the per-iteration ICI
+    # volume quadratically.
+    from slam_tpu.solver.partition import graph_partition
+
+    nb = graph_partition(g.edges_ij, g.num_nodes, 8)
+    gprob = build_dist_problem(g, 8, dtype=dtype, node_block=nb)
+    d = 3
+    vol = (d * prob.ns) ** 2 * 4 / 1e6
+    gvol = (d * gprob.ns) ** 2 * 4 / 1e6
+    print(f"dist problem (spectral): ni={gprob.ni} ns={gprob.ns} "
+          f"ek={gprob.ek}; separator psum {vol:.1f} -> {gvol:.1f} MB/iter "
+          f"({vol / gvol:.1f}x less collective volume)", flush=True)
+    t0 = time.perf_counter()
+    gposes, gcost, gcost0, _gsw = distributed_schur_lm(
+        poses0, free, gprob, cfg, mesh, iters
+    )
+    gcost0, gcost = float(gcost0), float(gcost)
+    print(f"distributed schur 8-dev (spectral): {gcost0:.4f} -> "
+          f"{gcost:.4f} ({time.perf_counter() - t0:.1f}s incl compile)",
+          flush=True)
+
     ok0 = abs(cost0 - ref_cost0) < 1e-3 * max(1.0, ref_cost0)
+    okg0 = abs(gcost0 - ref_cost0) < 1e-3 * max(1.0, ref_cost0)
     # Different partitions (uniform-by-index vs build_partition's balanced
     # cuts) give different f32 rounding, hence different accept chains; the
     # gate is agreement on substantial convergence, plus exact cost0.
-    ok = cost < 0.7 * cost0 and ref_cost < 0.7 * ref_cost0
-    print("initial-cost match:", "PASS" if ok0 else "FAIL")
+    ok = (cost < 0.7 * cost0 and ref_cost < 0.7 * ref_cost0
+          and gcost < 0.7 * gcost0)
+    print("initial-cost match:", "PASS" if (ok0 and okg0) else "FAIL")
     print("convergence gate:  ", "PASS" if ok else "FAIL")
-    return 0 if (ok0 and ok) else 1
+    return 0 if (ok0 and okg0 and ok) else 1
 
 
 if __name__ == "__main__":
