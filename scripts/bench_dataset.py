@@ -56,14 +56,19 @@ def main():
     sw0 = jnp.ones((edges.num_edges,), d)
 
     partition = None
-    if kind == "schur":
+    if kind in ("schur", "schurgraph"):
         if blocks == 0:
             blocks = choose_num_blocks(dirty.edges_ij, dirty.num_nodes,
                                        tangent_dim=model.tangent_dim)
+        node_block = None
+        if kind == "schurgraph":
+            from slam_tpu.solver.partition import graph_partition
+            node_block = graph_partition(dirty.edges_ij, dirty.num_nodes,
+                                         blocks)
         cfg = SolverConfig(robust="dcs", linear_solver="schur",
                            dtype="float32")
         partition = build_partition(dirty.edges_ij, dirty.num_nodes, blocks,
-                                    dtype=d)
+                                    dtype=d, node_block=node_block)
     elif kind == "dense":
         cfg = SolverConfig(robust="dcs", linear_solver="dense",
                            dtype="float32")
