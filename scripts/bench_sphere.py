@@ -70,11 +70,17 @@ def run(spec: str) -> dict:
     sw0 = jnp.ones((edges.num_edges,), jnp.float32)
 
     partition = None
-    if kind == "schur":
+    if kind in ("schur", "schurgraph"):
         cfg = SolverConfig(robust="dcs", linear_solver="schur",
                            dtype="float32")
+        node_block = None
+        if kind == "schurgraph":
+            from slam_tpu.solver.partition import graph_partition
+            node_block = graph_partition(dirty.edges_ij, dirty.num_nodes,
+                                         blocks)
         partition = build_partition(dirty.edges_ij, dirty.num_nodes, blocks,
-                                    dtype=jnp.float32)
+                                    dtype=jnp.float32,
+                                    node_block=node_block)
     else:
         cfg = SolverConfig(robust="dcs", linear_solver="pcg", dtype="float32",
                            pcg_rtol=1e-3, pcg_max_iters=100,
