@@ -114,3 +114,38 @@ def micro_chol_inv(A: jax.Array, interpret: bool = False):
         interpret=interpret,
     )(At)
     return (jnp.transpose(L, (2, 0, 1)), jnp.transpose(inv, (2, 0, 1)))
+
+
+def _make_folded(interpret: bool):
+    """Build a ``custom_vmap``-wrapped ``micro_chol_inv`` whose batching
+    rule FOLDS the mapped axis into the kernel's lane axis.
+
+    This is the r5 §2 fix for the measured vmap lane starvation: JAX's
+    default pallas_call batching rule lowers a mapped axis to a GRID
+    dimension, so under the production vmap-over-seeds each kernel
+    invocation saw only the within-problem panel batch (P of B*P
+    matrices; 16/128 lane occupancy on the bench workload).  The custom
+    rule reshapes (B, M, p, p) -> (B*M, p, p) instead, so one kernel
+    pass runs every matrix at full lane occupancy -- no new kernel, the
+    (p, p, M) layout already takes arbitrary M."""
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def folded(A):
+        return micro_chol_inv(A, interpret=interpret)
+
+    @folded.def_vmap
+    def _rule(axis_size, in_batched, A):  # noqa: ANN001 (jax protocol)
+        if not in_batched[0]:
+            out = folded(A)
+            return out, (False, False)
+        B, M, p, _ = A.shape
+        L, inv = folded(A.reshape(B * M, p, p))
+        return ((L.reshape(B, M, p, p), inv.reshape(B, M, p, p)),
+                (True, True))
+
+    return folded
+
+
+micro_chol_inv_folded = _make_folded(False)
+micro_chol_inv_folded_interpret = _make_folded(True)

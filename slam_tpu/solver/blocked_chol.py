@@ -86,10 +86,18 @@ def _panel_factor(a: Array, inner: int,
         lead *= d
     if (pallas_micro and lead >= 8 and a.dtype == jnp.float32
             and not inner):
-        from slam_tpu.ops.pallas_chol import micro_chol_inv
+        # The custom_vmap-folded wrappers (r5 §2 fix) collapse any
+        # OUTER vmap axes (the production per-seed vmap) into the
+        # kernel's lane axis instead of a pallas grid dimension, so the
+        # kernel always runs at full lane occupancy.
+        from slam_tpu.ops.pallas_chol import (
+            micro_chol_inv_folded,
+            micro_chol_inv_folded_interpret,
+        )
 
-        L, inv = micro_chol_inv(a.reshape((lead, p, p)),
-                                interpret=jax.default_backend() == "cpu")
+        fn = (micro_chol_inv_folded_interpret
+              if jax.default_backend() == "cpu" else micro_chol_inv_folded)
+        L, inv = fn(a.reshape((lead, p, p)))
         return L.reshape(a.shape), inv.reshape(a.shape)
     if not inner or p <= inner or p % inner:
         L = _chol_panel(a)
